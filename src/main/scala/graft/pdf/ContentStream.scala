@@ -1,0 +1,174 @@
+package graft.pdf
+
+import scala.collection.mutable.ArrayBuffer
+
+/** PDF content-stream interpreter, text operators only (SURVEY.md E8;
+  * PDF 1.7 §9.4). Tracks the text line position through
+  * `BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ', "` and emits one raw span per
+  * show op: `(text, x, y)`. Graphics-state operators are consumed and
+  * ignored (no CTM — scope per SURVEY §7.5.1: fixture grammar first).
+  * String bytes are decoded as Latin-1 (standard single-byte encodings;
+  * CID/Type0 out of scope for v1 — such text degrades, never throws).
+  */
+object ContentStream {
+
+  final case class RawSpan(text: String, x: Double, y: Double)
+
+  final case class PageOps(
+    spans: Vector[RawSpan],
+    sawFontOp: Boolean,
+    imageDraws: Int)
+
+  def run(content: Array[Byte]): PageOps = {
+    val spans = new ArrayBuffer[RawSpan]
+    var sawFont = false
+    var images = 0
+
+    // text state
+    var lineX = 0.0; var lineY = 0.0      // start of current line
+    var leading = 0.0
+    var fontSize = 0.0
+
+    val operands = new ArrayBuffer[Operand]
+
+    def num(i: Int): Double = {
+      // i-th operand from the END (TJ-style: last operand nearest the op)
+      val idx = operands.length - 1 - i
+      if (idx >= 0 && idx < operands.length) operands(idx) match {
+        case ONum(v) => v
+        case _ => 0.0
+      } else 0.0
+    }
+
+    def newline(): Unit = { lineY -= leading }
+
+    def showLast(): Unit = operands.lastOption match {
+      case Some(OStr(s)) => if (s.nonEmpty) spans += RawSpan(s, lineX, lineY)
+      case _ =>
+    }
+
+    val lexer = new Lexer(content)
+    var tok = lexer.next()
+    while (tok != null) {
+      tok match {
+        case o: Operand => operands += o
+        case OOp(op) =>
+          op match {
+            case "BT" => lineX = 0.0; lineY = 0.0
+            case "ET" =>
+            case "Tf" => sawFont = true; fontSize = num(0); if (leading == 0.0) () // leading stays explicit
+            case "TL" => leading = num(0)
+            case "Td" => lineX += num(1); lineY += num(0)
+            case "TD" => leading = -num(0); lineX += num(1); lineY += num(0)
+            case "Tm" => lineX = num(1); lineY = num(0) // e, f of [a b c d e f]
+            case "T*" => newline()
+            case "Tj" => showLast()
+            case "'" => newline(); showLast()
+            case "\"" => newline(); showLast()
+            case "TJ" => operands.lastOption match {
+              case Some(OArr(items)) =>
+                val sb = new java.lang.StringBuilder
+                items.foreach { case OStr(s) => sb.append(s); case _ => }
+                if (sb.length > 0) spans += RawSpan(sb.toString, lineX, lineY)
+              case _ =>
+            }
+            case "Do" => images += 1 // XObject draw; counted as potential image
+            case "BI" => images += 1 // inline image
+            case _ => // ignore any other operator
+          }
+          operands.clear()
+      }
+      tok = lexer.next()
+    }
+    PageOps(spans.toVector, sawFont, images)
+  }
+
+  sealed trait Token
+  sealed trait Operand extends Token
+  final case class ONum(v: Double) extends Operand
+  final case class OStr(s: String) extends Operand
+  final case class OName(s: String) extends Operand
+  final case class OArr(items: Vector[Operand]) extends Operand
+  final case class OOp(op: String) extends Token
+
+  /** Content-stream lexer; reuses the object-layer string/number grammar. */
+  private final class Lexer(bytes: Array[Byte]) {
+    private var pos = 0
+    private val n = bytes.length
+
+    @inline private def isWs(b: Int): Boolean =
+      b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0
+    @inline private def isDelim(b: Int): Boolean =
+      b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+
+    def next(): Token = {
+      // skip whitespace/comments
+      var go = true
+      while (go && pos < n) {
+        val b = bytes(pos) & 0xFF
+        if (isWs(b)) pos += 1
+        else if (b == '%') { while (pos < n && bytes(pos) != '\n' && bytes(pos) != '\r') pos += 1 }
+        else go = false
+      }
+      if (pos >= n) return null
+      (bytes(pos) & 0xFF) match {
+        case '(' => OStr(latin1(parseLiteral()))
+        case '<' =>
+          if (pos + 1 < n && bytes(pos + 1) == '<') { skipDict(); next() }
+          else OStr(latin1(parseHex()))
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[Operand]
+          var t = next()
+          var guard = 0
+          while (t != null && t != OOp("]") && guard < 100000) {
+            t match { case o: Operand => items += o; case _ => }
+            t = next(); guard += 1
+          }
+          OArr(items.result())
+        case ']' => pos += 1; OOp("]")
+        case '/' =>
+          pos += 1
+          val s = pos
+          while (pos < n && !isWs(bytes(pos) & 0xFF) && !isDelim(bytes(pos) & 0xFF)) pos += 1
+          OName(new String(bytes, s, pos - s, java.nio.charset.StandardCharsets.ISO_8859_1))
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val s = pos
+          pos += 1
+          while (pos < n && ((bytes(pos) >= '0' && bytes(pos) <= '9') || bytes(pos) == '.' ||
+                 bytes(pos) == '-' || bytes(pos) == '+')) pos += 1
+          val str = new String(bytes, s, pos - s, java.nio.charset.StandardCharsets.US_ASCII)
+          ONum(try str.toDouble catch { case _: NumberFormatException => 0.0 })
+        case _ =>
+          val s = pos
+          while (pos < n && !isWs(bytes(pos) & 0xFF) && !isDelim(bytes(pos) & 0xFF)) pos += 1
+          if (pos == s) { pos += 1; next() }
+          else OOp(new String(bytes, s, pos - s, java.nio.charset.StandardCharsets.US_ASCII))
+      }
+    }
+
+    private def latin1(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    private def parseLiteral(): Array[Byte] = {
+      val p = new PdfObjects.Parser(bytes, pos)
+      val r = p.parseLiteralString()
+      pos = p.pos
+      r.bytes
+    }
+
+    private def parseHex(): Array[Byte] = {
+      val p = new PdfObjects.Parser(bytes, pos)
+      val r = p.parseHexString()
+      pos = p.pos
+      r.bytes
+    }
+
+    private def skipDict(): Unit = {
+      val p = new PdfObjects.Parser(bytes, pos)
+      p.parseDict()
+      pos = p.pos
+    }
+  }
+}

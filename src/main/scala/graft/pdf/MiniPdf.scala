@@ -1,0 +1,110 @@
+package graft.pdf
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Deterministic minimal-PDF writer.
+  *
+  * Used by the fixture suites (FIXTURES.md §3.3) and the synthetic pages
+  * generator — the rebuild's analogue of the reference's inline fixture
+  * bytes (`tests/integration/test_document_processing.py:20-21`: `%PDF-1.7`,
+  * one page, MediaBox 612×792, `BT /F1 12 Tf 100 700 Td (Test PDF) Tj ET`),
+  * generalized to multiple pages and optional FlateDecode streams. Output is
+  * a byte-for-byte pure function of its inputs (fixed object layout, no
+  * timestamps, deflate level pinned).
+  */
+object MiniPdf {
+
+  /** One content stream per page. `flate` compresses every stream;
+    * `withFont = false` omits the /Font resource (image-only/scanned shapes).
+    */
+  def build(pageStreams: Seq[String], flate: Boolean = false, padTo: Int = 1024,
+            withFont: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def obj(body: => Unit): Unit = { offsets += out.size(); body }
+
+    w("%PDF-1.7\n")
+    val nPages = pageStreams.length
+    // object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    //   page obj = 4 + 2*i, content obj = 5 + 2*i
+    val kidRefs = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+
+    obj { w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n") }
+    obj { w(s"2 0 obj\n<< /Type /Pages /Kids [ $kidRefs ] /Count $nPages >>\nendobj\n") }
+    obj { w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n") }
+
+    pageStreams.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 4 + 2 * i
+      val contNum = 5 + 2 * i
+      obj {
+        val res = if (withFont) "/Resources << /Font << /F1 3 0 R >> >> " else "/Resources << >> "
+        w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"$res/Contents $contNum 0 R >>\nendobj\n")
+      }
+      val payload: Array[Byte] =
+        if (flate) deflate(content.getBytes(ISO_8859_1)) else content.getBytes(ISO_8859_1)
+      obj {
+        val filter = if (flate) " /Filter /FlateDecode" else ""
+        w(s"$contNum 0 obj\n<< /Length ${payload.length}$filter >>\nstream\n")
+        out.write(payload)
+        w("\nendstream\nendobj\n")
+      }
+    }
+
+    // xref
+    val xrefPos = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%%%EOF\n")
+
+    // pad with comment bytes to clear the ≥1024-byte validity floor
+    if (out.size() < padTo) {
+      w("%")
+      while (out.size() < padTo - 1) out.write('x')
+      w("\n")
+    }
+    out.toByteArray
+  }
+
+  /** Single page, reference-fixture shape. */
+  def singlePage(lines: Seq[(String, Int, Int)], flate: Boolean = false): Array[Byte] = {
+    build(Seq(streamFor(lines)), flate)
+  }
+
+  /** Build a content stream placing each (text, x, y) with its own Td from origin. */
+  def streamFor(lines: Seq[(String, Int, Int)]): String = {
+    val ops = lines.map { case (t, x, y) =>
+      s"BT /F1 12 Tf $x $y Td (${escape(t)}) Tj ET"
+    }
+    ops.mkString("\n")
+  }
+
+  def escape(s: String): String =
+    s.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+
+  /** Deterministic deflate (fixed level, no header variance). */
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(data); d.finish()
+      val out = new ByteArrayOutputStream(data.length + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val k = d.deflate(buf)
+        out.write(buf, 0, k)
+      }
+      out.toByteArray
+    } finally d.end()
+  }
+}

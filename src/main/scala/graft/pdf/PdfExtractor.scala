@@ -1,0 +1,149 @@
+package graft.pdf
+
+import graft.model.SpanRow
+import PdfObjects._
+
+/** PDF text-extraction facade (SURVEY.md E8/S5/C1-C2).
+  *
+  * Pipeline: body object scan → page-tree walk (catalog `/Pages` → `/Kids`;
+  * fallback: `/Type /Page` objects in file order when the catalog is broken)
+  * → per-page content streams (FlateDecode via java.util.zip) → text-operator
+  * interpretation → reading-order span layout → page texts joined `"\n\n"`
+  * (assembly contract E3, ocr_adapters.py:73).
+  *
+  * Span offsets are char offsets into the document's final extracted text
+  * (the PDF path has no meaningful "decoded source" string to offset into).
+  *
+  * Classification = the reference's rule classifier thresholds
+  * (pdf_analyzer.py:96-122): scanned / image_heavy / native_text / mixed
+  * (table_heavy unreachable in v1 — no PDF table detection, the reference's
+  * own extractor is a stub too, table_simple.py:16-29).
+  *
+  * Confidence (E12): 100 × pages-with-spans / pages.
+  */
+object PdfExtractor {
+
+  final case class PdfDoc(
+    text: String,
+    spans: Vector[SpanRow],
+    pageCount: Int,
+    confidence: Double,
+    docType: String)
+
+  def extract(bytes: Array[Byte]): Either[String, PdfDoc] = {
+    val objs = parseAll(bytes)
+    if (objs.byNum.isEmpty) return Left("pdf_no_objects")
+
+    val pages = findPages(objs)
+    if (pages.isEmpty) return Left("pdf_no_pages")
+
+    var sawFont = false
+    var images = 0
+    var filterError: String = null
+
+    val pageResults = pages.zipWithIndex.map { case (page, idx) =>
+      val contents = contentBytes(page, objs) match {
+        case Right(b) => b
+        case Left(err) => if (filterError == null) filterError = err; Array.empty[Byte]
+      }
+      val ops = ContentStream.run(contents)
+      if (ops.sawFontOp) sawFont = true
+      images += ops.imageDraws
+      if (resourcesHaveFont(page, objs)) sawFont = true
+      (idx, ops.spans)
+    }
+
+    // a filter we cannot decode on every page with no text at all → error
+    if (filterError != null && pageResults.forall(_._2.isEmpty))
+      return Left(filterError)
+
+    val sb = new java.lang.StringBuilder
+    val allSpans = Vector.newBuilder[SpanRow]
+    var off = 0
+    pageResults.foreach { case (idx, raw) =>
+      if (idx > 0) { sb.append("\n\n"); off += 2 }
+      val pt = SpanLayout.layoutPage(idx, raw, off)
+      sb.append(pt.text)
+      off += pt.text.length
+      allSpans ++= pt.spans
+    }
+    val text = sb.toString
+
+    val pageCount = pages.length
+    val pagesWithText = pageResults.count(_._2.nonEmpty)
+    val extractableRatio = pagesWithText.toDouble / pageCount
+    val avgTextPerPage = text.length.toDouble / pageCount
+    val imgRatio = images.toDouble / pageCount
+
+    // pdf_analyzer.py:96-122 thresholds
+    val docType =
+      if (!sawFont && extractableRatio < 0.3 && imgRatio > 0.5) "scanned"
+      else if (imgRatio > 1.5) "image_heavy"
+      else if (sawFont && extractableRatio > 0.8 && avgTextPerPage > 100) "native_text"
+      else if (!sawFont && pagesWithText == 0) "scanned"
+      else "mixed"
+
+    val confidence = 100.0 * pagesWithText / pageCount
+    Right(PdfDoc(text, allSpans.result(), pageCount, confidence, docType))
+  }
+
+  /** Walk the catalog page tree; fall back to file-order /Type /Page scan. */
+  private def findPages(objs: Objects): Vector[PDict] = {
+    val catalogPages: Option[PVal] = objs.byNum.values.collectFirst {
+      case d: PDict if objs.name(d.m.getOrElse("Type", PNull)).contains("Catalog") &&
+        d.m.contains("Pages") => d.m("Pages")
+    }
+    val out = Vector.newBuilder[PDict]
+    val seen = scala.collection.mutable.Set.empty[Int]
+
+    def walk(v: PVal, depth: Int): Unit = {
+      if (depth > 64) return
+      v match {
+        case PRef(n, _) =>
+          if (seen.add(n)) walk(objs.resolve(v), depth + 1)
+        case d: PDict =>
+          objs.name(d.m.getOrElse("Type", PNull)) match {
+            case Some("Pages") =>
+              objs.arr(d.m.getOrElse("Kids", PNull)).foreach(_.foreach(walk(_, depth + 1)))
+            case Some("Page") => out += d
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+
+    catalogPages.foreach(walk(_, 0))
+    val viaTree = out.result()
+    if (viaTree.nonEmpty) viaTree
+    else // fallback: file order (byNum is built from a file scan; sort by objnum as proxy)
+      objs.byNum.toVector.sortBy(_._1).collect {
+        case (_, d: PDict) if objs.name(d.m.getOrElse("Type", PNull)).contains("Page") => d
+      }
+  }
+
+  /** Concatenate a page's /Contents streams (single ref or array). */
+  private def contentBytes(page: PDict, objs: Objects): Either[String, Array[Byte]] = {
+    val contents = page.m.getOrElse("Contents", PNull)
+    val streams: Vector[PStream] = objs.resolve(contents) match {
+      case s: PStream => Vector(s)
+      case PArr(items) => items.flatMap(i => objs.resolve(i) match {
+        case s: PStream => Some(s); case _ => None
+      })
+      case _ => Vector.empty
+    }
+    if (streams.isEmpty) return Right(Array.empty[Byte])
+    val out = new java.io.ByteArrayOutputStream
+    var err: String = null
+    streams.foreach { s =>
+      decodeStream(s, objs) match {
+        case Right(b) => if (out.size() > 0) out.write('\n'); out.write(b, 0, b.length)
+        case Left(e) => if (err == null) err = e
+      }
+    }
+    if (out.size() == 0 && err != null) Left(err) else Right(out.toByteArray)
+  }
+
+  private def resourcesHaveFont(page: PDict, objs: Objects): Boolean =
+    objs.dict(page.m.getOrElse("Resources", PNull))
+      .exists(r => r.m.contains("Font"))
+}

@@ -1,0 +1,355 @@
+package graft.pdf
+
+import scala.collection.mutable
+
+/** PDF object-layer parser (SURVEY.md E8/S5; PDF 1.7 / ISO 32000-1 subset).
+  *
+  * Scope (SURVEY §7.5.1): body scan for `N G obj` (xref-independent — robust
+  * against broken xref tables), dictionaries/arrays/names/numbers/strings/
+  * refs, stream payloads with `FlateDecode` (java.util.zip.Inflater).
+  * Anything beyond the scope yields `Left(error)` at the extractor level,
+  * never an exception. Input bytes are never mutated.
+  */
+object PdfObjects {
+
+  sealed trait PVal
+  final case class PNum(v: Double) extends PVal
+  final case class PName(v: String) extends PVal
+  /** String object payload as raw bytes (escapes already resolved). */
+  final case class PStr(bytes: Array[Byte]) extends PVal
+  final case class PArr(items: Vector[PVal]) extends PVal
+  final case class PDict(m: Map[String, PVal]) extends PVal
+  final case class PRef(num: Int, gen: Int) extends PVal
+  final case class PBool(v: Boolean) extends PVal
+  case object PNull extends PVal
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PVal
+
+  final class Objects(val byNum: Map[Int, PVal]) {
+    def resolve(v: PVal): PVal = v match {
+      case PRef(n, _) => byNum.get(n).map {
+        case r: PRef => resolve(r)
+        case x => x
+      }.getOrElse(PNull)
+      case x => x
+    }
+    def dict(v: PVal): Option[PDict] = resolve(v) match {
+      case d: PDict => Some(d)
+      case s: PStream => Some(s.dict)
+      case _ => None
+    }
+    def name(v: PVal): Option[String] = resolve(v) match {
+      case PName(n) => Some(n); case _ => None
+    }
+    def num(v: PVal): Option[Double] = resolve(v) match {
+      case PNum(n) => Some(n); case _ => None
+    }
+    def arr(v: PVal): Option[Vector[PVal]] = resolve(v) match {
+      case PArr(a) => Some(a); case _ => None
+    }
+  }
+
+  @inline private def isWs(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0
+  @inline private def isDelim(b: Int): Boolean =
+    b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+    b == '{' || b == '}' || b == '/' || b == '%'
+  @inline private def isRegular(b: Int): Boolean = !isWs(b) && !isDelim(b)
+
+  /** Parse all indirect objects in the file by scanning for `N G obj`. */
+  def parseAll(bytes: Array[Byte]): Objects = {
+    val out = mutable.Map.empty[Int, PVal]
+    val n = bytes.length
+    var i = 0
+    while (i + 3 <= n) {
+      // find "obj" preceded by two integers
+      if (bytes(i) == 'o' && i + 2 < n && bytes(i + 1) == 'b' && bytes(i + 2) == 'j' &&
+          (i + 3 >= n || !isRegular(bytes(i + 3) & 0xFF))) {
+        // walk back: ws, gen int, ws, num int
+        var j = i - 1
+        while (j >= 0 && isWs(bytes(j) & 0xFF)) j -= 1
+        val genEnd = j + 1
+        while (j >= 0 && bytes(j) >= '0' && bytes(j) <= '9') j -= 1
+        val genStart = j + 1
+        if (genEnd > genStart) {
+          while (j >= 0 && isWs(bytes(j) & 0xFF)) j -= 1
+          val numEnd = j + 1
+          while (j >= 0 && bytes(j) >= '0' && bytes(j) <= '9') j -= 1
+          val numStart = j + 1
+          val boundaryOk = j < 0 || isWs(bytes(j) & 0xFF) || isDelim(bytes(j) & 0xFF)
+          if (numEnd > numStart && boundaryOk) {
+            val objNum = parseIntAscii(bytes, numStart, numEnd)
+            val p = new Parser(bytes, i + 3)
+            try {
+              val v = p.parseValue()
+              val v2 = p.maybeStream(v)
+              if (objNum >= 0) out(objNum) = v2
+            } catch { case _: Exception => /* skip malformed object */ }
+          }
+        }
+      }
+      i += 1
+    }
+    new Objects(out.toMap)
+  }
+
+  private def parseIntAscii(b: Array[Byte], s: Int, e: Int): Int = {
+    var v = 0L
+    var i = s
+    while (i < e) { v = v * 10 + (b(i) - '0'); if (v > Int.MaxValue) return -1; i += 1 }
+    v.toInt
+  }
+
+  /** Recursive-descent parser for one value starting at `pos`. */
+  final class Parser(bytes: Array[Byte], var pos: Int) {
+    private val n = bytes.length
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < n) {
+        val b = bytes(pos) & 0xFF
+        if (isWs(b)) pos += 1
+        else if (b == '%') { // comment to EOL
+          while (pos < n && bytes(pos) != '\n' && bytes(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    def parseValue(): PVal = {
+      skipWs()
+      if (pos >= n) return PNull
+      (bytes(pos) & 0xFF) match {
+        case '<' =>
+          if (pos + 1 < n && bytes(pos + 1) == '<') parseDict()
+          else parseHexString()
+        case '[' => parseArray()
+        case '/' => parseName()
+        case '(' => parseLiteralString()
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          parseNumberOrRef()
+        case 't' if matches("true") => pos += 4; PBool(true)
+        case 'f' if matches("false") => pos += 5; PBool(false)
+        case 'n' if matches("null") => pos += 4; PNull
+        case _ => pos += 1; PNull // unknown token byte: skip
+      }
+    }
+
+    private def matches(s: String): Boolean = {
+      if (pos + s.length > n) return false
+      var i = 0
+      while (i < s.length) { if (bytes(pos + i) != s.charAt(i)) return false; i += 1 }
+      true
+    }
+
+    def parseName(): PName = {
+      pos += 1 // '/'
+      val sb = new java.lang.StringBuilder
+      while (pos < n && isRegular(bytes(pos) & 0xFF)) {
+        val b = bytes(pos) & 0xFF
+        if (b == '#' && pos + 2 < n) {
+          val h1 = Character.digit(bytes(pos + 1), 16); val h2 = Character.digit(bytes(pos + 2), 16)
+          if (h1 >= 0 && h2 >= 0) { sb.append(((h1 << 4) | h2).toChar); pos += 3 }
+          else { sb.append(b.toChar); pos += 1 }
+        } else { sb.append(b.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def parseNumberOrRef(): PVal = {
+      val start = pos
+      if (bytes(pos) == '+' || bytes(pos) == '-') pos += 1
+      var isInt = true
+      while (pos < n && ((bytes(pos) >= '0' && bytes(pos) <= '9') || bytes(pos) == '.')) {
+        if (bytes(pos) == '.') isInt = false
+        pos += 1
+      }
+      val numStr = new String(bytes, start, pos - start, java.nio.charset.StandardCharsets.US_ASCII)
+      val value = try numStr.toDouble catch { case _: NumberFormatException => 0.0 }
+      if (isInt && value >= 0) {
+        // lookahead for "G R"
+        val save = pos
+        skipWs()
+        val genStart = pos
+        while (pos < n && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
+        if (pos > genStart) {
+          val gen = parseIntAscii(bytes, genStart, pos)
+          skipWs()
+          if (pos < n && bytes(pos) == 'R' &&
+              (pos + 1 >= n || !isRegular(bytes(pos + 1) & 0xFF))) {
+            pos += 1
+            return PRef(value.toInt, gen)
+          }
+        }
+        pos = save
+      }
+      PNum(value)
+    }
+
+    def parseArray(): PArr = {
+      pos += 1 // '['
+      val items = Vector.newBuilder[PVal]
+      var guard = 0
+      skipWs()
+      while (pos < n && bytes(pos) != ']' && guard < 1000000) {
+        items += parseValue()
+        skipWs()
+        guard += 1
+      }
+      if (pos < n) pos += 1 // ']'
+      PArr(items.result())
+    }
+
+    def parseDict(): PDict = {
+      pos += 2 // '<<'
+      val m = Map.newBuilder[String, PVal]
+      var done = false
+      var guard = 0
+      while (!done && pos < n && guard < 1000000) {
+        skipWs()
+        if (pos + 1 < n && bytes(pos) == '>' && bytes(pos + 1) == '>') { pos += 2; done = true }
+        else if (pos < n && bytes(pos) == '/') {
+          val k = parseName().v
+          val v = parseValue()
+          m += (k -> v)
+        } else pos += 1 // junk: skip a byte
+        guard += 1
+      }
+      PDict(m.result())
+    }
+
+    def parseLiteralString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream
+      var depth = 1
+      while (pos < n && depth > 0) {
+        val b = bytes(pos) & 0xFF
+        if (b == '\\' && pos + 1 < n) {
+          val e = bytes(pos + 1) & 0xFF
+          e match {
+            case 'n' => out.write('\n'); pos += 2
+            case 'r' => out.write('\r'); pos += 2
+            case 't' => out.write('\t'); pos += 2
+            case 'b' => out.write('\b'); pos += 2
+            case 'f' => out.write('\f'); pos += 2
+            case '(' => out.write('('); pos += 2
+            case ')' => out.write(')'); pos += 2
+            case '\\' => out.write('\\'); pos += 2
+            case '\r' => // line continuation
+              pos += 2; if (pos < n && bytes(pos) == '\n') pos += 1
+            case '\n' => pos += 2
+            case d if d >= '0' && d <= '7' => // octal, 1-3 digits
+              var v = 0; var k = 0; pos += 1
+              while (k < 3 && pos < n && bytes(pos) >= '0' && bytes(pos) <= '7') {
+                v = v * 8 + (bytes(pos) - '0'); pos += 1; k += 1
+              }
+              out.write(v & 0xFF)
+            case _ => out.write(e); pos += 2
+          }
+        } else if (b == '(') { depth += 1; out.write(b); pos += 1 }
+        else if (b == ')') { depth -= 1; if (depth > 0) out.write(b); pos += 1 }
+        else { out.write(b); pos += 1 }
+      }
+      PStr(out.toByteArray)
+    }
+
+    def parseHexString(): PStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream
+      var hi = -1
+      var done = false
+      while (!done && pos < n) {
+        val b = bytes(pos) & 0xFF
+        if (b == '>') { pos += 1; done = true }
+        else {
+          val d = Character.digit(b, 16)
+          if (d >= 0) {
+            if (hi < 0) hi = d
+            else { out.write((hi << 4) | d); hi = -1 }
+          }
+          pos += 1
+        }
+      }
+      if (hi >= 0) out.write(hi << 4) // odd digit: pad 0
+      PStr(out.toByteArray)
+    }
+
+    /** If a `stream` keyword follows a dict, attach the payload. */
+    def maybeStream(v: PVal): PVal = v match {
+      case d: PDict =>
+        val save = pos
+        skipWs()
+        if (matches("stream")) {
+          pos += 6
+          if (pos < n && bytes(pos) == '\r') pos += 1
+          if (pos < n && bytes(pos) == '\n') pos += 1
+          val dataStart = pos
+          // /Length may be an indirect ref we can't resolve yet — locate
+          // `endstream` by search (scope note in object doc).
+          val end = indexOf(bytes, "endstream", dataStart)
+          val dataEnd0 = if (end < 0) n else end
+          // strip at most one trailing EOL
+          var dataEnd = dataEnd0
+          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, math.max(dataEnd, dataStart))
+          pos = if (end < 0) n else end + 9
+          PStream(d, raw)
+        } else { pos = save; d }
+      case other => other
+    }
+  }
+
+  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
+    val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= hay.length) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) { if (hay(i + j) != needle.charAt(j)) ok = false; j += 1 }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Apply the stream's filter chain. Supported: none, FlateDecode.
+    * Returns Left(filterName) on an unsupported filter.
+    */
+  def decodeStream(s: PStream, objs: Objects): Either[String, Array[Byte]] = {
+    val filters: Vector[String] = objs.resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+      case PName(f) => Vector(f)
+      case PArr(fs) => fs.flatMap(f => objs.name(f))
+      case _ => Vector.empty
+    }
+    var data = s.raw
+    // honor /Length when it is a direct or resolvable number and sane
+    objs.num(s.dict.m.getOrElse("Length", PNull)).foreach { len =>
+      val l = len.toInt
+      if (l >= 0 && l <= s.raw.length) data = java.util.Arrays.copyOfRange(s.raw, 0, l)
+    }
+    filters.foldLeft[Either[String, Array[Byte]]](Right(data)) {
+      case (Right(d), "FlateDecode") => inflate(d)
+      case (Right(_), other) => Left(s"unsupported_filter:$other")
+      case (l, _) => l
+    }
+  }
+
+  def inflate(data: Array[Byte]): Either[String, Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(data.length * 4, 1024))
+      val buf = new Array[Byte](8192)
+      var guard = 0
+      while (!inf.finished() && guard < 100000) {
+        val k = inf.inflate(buf)
+        if (k > 0) out.write(buf, 0, k)
+        else if (inf.needsInput() || inf.needsDictionary()) guard = 100000 // truncated
+        guard += 1
+      }
+      if (out.size() == 0 && data.nonEmpty) Left("flate_decode_failed")
+      else Right(out.toByteArray)
+    } catch {
+      case _: Exception => Left("flate_decode_failed")
+    } finally inf.end()
+  }
+}
