@@ -1,0 +1,143 @@
+package graft.io
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Page
+import graft.pdf.MiniPdf
+
+/** Deterministic synthetic pages table (FIXTURES.md §3.5; SURVEY §7.2 step 1).
+  *
+  * Derives a Common-Crawl-shaped `pages(url, warc_ts, html, text, lang)`
+  * table from the driver's `documents.parquet` — every byte a pure function
+  * of `(doc_id, text, lang)`, no wall clock, no RNG. The `text` column is the
+  * GOLDEN expected extraction output, computed from the content actually
+  * injected into the payload (never by running the extractor — the golden is
+  * spec-derived, mirroring the reference's old-vs-new MD5 gate,
+  * tests/validation_test.py:19-66).
+  *
+  * Shape knobs (exercise the scale mechanics):
+  *  - hosts are Zipf-ish: doc_id % 5 == 0 → one heavy host (~20% of rows —
+  *    salting fixture), else one of 97 tail hosts;
+  *  - ~10% of payloads are PDFs (doc_id % 10 == 9), half of them Flate;
+  *  - HTML charsets rotate UTF-8 / UTF-8+BOM / windows-1252 / ISO-8859-1
+  *    (zh pages pinned to UTF-8 — single-byte charsets can't carry CJK);
+  *  - boilerplate: header, nav link list, related-links paragraph
+  *    (link density 1.0), footer — all absent from golden;
+  *  - doc_id % 7 == 3 pages embed a data table (tables column, not golden
+  *    text); entity escapes appear in paragraph 1 of every multi-paragraph
+  *    page.
+  */
+object SyntheticPages {
+
+  final case class Spec(url: String, tsMillis: Long, payload: Array[Byte],
+                        golden: String, lang: String)
+
+  val Epoch: Long = 1704067200000L // 2024-01-01T00:00:00Z, fixed
+
+  def hostOf(docId: Long): String =
+    if (docId % 5 == 0) "big.example.com" else s"h${docId % 97}.example.com"
+
+  def urlOf(docId: Long): String = s"https://${hostOf(docId)}/p/$docId"
+
+  def isPdfDoc(docId: Long): Boolean = docId % 10 == 9
+
+  private val accentWord = Map(
+    "es" -> "información", "de" -> "übrigens", "fr" -> "déjà",
+    "en" -> "naïve", "zh" -> "中文测试")
+
+  def pageFor(docId: Long, docText: String, lang: String): Spec = {
+    val words0 = docText.trim.split("\\s+").toVector.filter(_.nonEmpty)
+    if (isPdfDoc(docId)) {
+      // PDF v1 string scope is Latin-1 (SURVEY §7.5.1) — CJK can't round-trip
+      val safe = if (lang == "zh") "zhongwen-ceshi" else accentWord.getOrElse(lang, "extra")
+      pdfPage(docId, words0 :+ safe, lang)
+    } else htmlPage(docId, words0 :+ accentWord.getOrElse(lang, "extra"), lang)
+  }
+
+  /** HTML payload + golden. Golden = title + paragraphs joined "\n\n". */
+  private def htmlPage(docId: Long, words: Vector[String], lang: String): Spec = {
+    val paras0 = words.grouped(12).map(_.mkString(" ")).toVector
+    // entity fixture: paragraph 1 gets an ampersand pair
+    val paras = paras0.zipWithIndex.map { case (p, i) =>
+      if (i == 1) p + " A & B" else p
+    }
+    val title = s"Documento $docId"
+    val golden = (title +: paras).mkString("\n\n")
+
+    val charset: Charset =
+      if (lang == "zh") StandardCharsets.UTF_8
+      else (docId % 4) match {
+        case 0 | 1 => StandardCharsets.UTF_8
+        case 2 => Charset.forName("windows-1252")
+        case _ => StandardCharsets.ISO_8859_1
+      }
+    val withBom = lang != "zh" && docId % 4 == 1
+    val metaDecl = charset.name match {
+      case "windows-1252" => "<meta charset=\"windows-1252\">"
+      case "ISO-8859-1" =>
+        "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">"
+      case _ => "<meta charset=\"utf-8\">"
+    }
+
+    val paraHtml = paras.zipWithIndex.map { case (p, i) =>
+      val body = if (i == 1) p.replace(" A & B", " A &amp; B") else p
+      s"  <p>$body</p>"
+    }.mkString("\n")
+    val tableHtml =
+      if (docId % 7 == 3)
+        s"  <table><tr><th>key</th><th>value</th></tr><tr><td>id</td><td>$docId</td></tr></table>\n"
+      else ""
+    val html =
+      s"""<!DOCTYPE html>
+         |<html lang="$lang"><head>
+         |$metaDecl
+         |<title>doc $docId — site</title>
+         |<script>var page=$docId;</script>
+         |<style>.m{color:#333}</style>
+         |</head><body>
+         |<header><div><a href="/">Example Site</a></div></header>
+         |<nav><ul><li><a href="/s1">Section one</a></li><li><a href="/s2">Section two</a></li><li><a href="/s3">More</a></li></ul></nav>
+         |<main>
+         |  <h1>$title</h1>
+         |$paraHtml
+         |$tableHtml  <p><a href="/rel/1">related</a> <a href="/rel/2">links</a> <a href="/rel/3">here</a></p>
+         |</main>
+         |<aside><p>Subscribe to our newsletter for more.</p></aside>
+         |<footer><p>© example.com — <a href="/legal">legal</a></p></footer>
+         |</body></html>""".stripMargin
+
+    val bytes =
+      if (withBom) Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ html.getBytes(charset)
+      else html.getBytes(charset)
+    Spec(urlOf(docId), Epoch + docId * 1000L, bytes, golden, lang)
+  }
+
+  /** PDF payload + golden. Golden = lines joined "\n" per page, pages "\n\n". */
+  private def pdfPage(docId: Long, words: Vector[String], lang: String): Spec = {
+    val lines = words.grouped(8).map(_.mkString(" ")).toVector
+    val pages = lines.grouped(10).toVector
+    val golden = pages.map(_.mkString("\n")).mkString("\n\n")
+    val streams = pages.map { pageLines =>
+      MiniPdf.streamFor(pageLines.zipWithIndex.map { case (l, i) => (l, 72, 720 - 14 * i) })
+    }
+    val flate = (docId / 10) % 2 == 0
+    Spec(urlOf(docId), Epoch + docId * 1000L, MiniPdf.build(streams, flate = flate),
+      golden, lang)
+  }
+
+  /** Spark derivation: documents.parquet → pages DataFrame (Page schema).
+    * Column-pruned scan; one narrow mapPartitions, no shuffle.
+    */
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, lang) =>
+        val s = pageFor(id, if (text == null) "" else text, if (lang == null) "en" else lang)
+        Page(s.url, new Timestamp(s.tsMillis), s.payload, s.golden, s.lang)
+      })
+      .toDF()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.io.SyntheticPages
+import graft.model.PipelineConf
+
+/** End-to-end pipeline spec on sf0.001-derived synthetic pages:
+  * the byte-identical golden gate (north_rule) plus scale-mechanics
+  * properties (FIXTURES.md §3.5).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pipeline-spec")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("golden gate: extracted text byte-identical per url, zero mismatches") {
+    val pages = SyntheticPages.fromDocuments(spark, sfDir).cache()
+    val extracted = Extract.run(pages, PipelineConf(shufflePartitions = 8)).toDF().cache()
+    val total = pages.count()
+    assert(total == 500)
+    assert(extracted.count() == total)
+
+    val mismatches = Extract.goldenMismatches(extracted, pages)
+    val bad = mismatches.limit(5).collect()
+    if (bad.nonEmpty) {
+      bad.foreach { r =>
+        val a = r.getAs[String]("actual"); val e = r.getAs[String]("expected")
+        val diffAt = a.zip(e).indexWhere { case (x, y) => x != y }
+        fail(s"golden mismatch url=${r.getAs[String]("url")} first_diff=$diffAt\n" +
+          s"expected: ${e.take(200)}\nactual:   ${a.take(200)}")
+      }
+    }
+    assert(mismatches.count() == 0)
+
+    import org.apache.spark.sql.functions._
+    val st = extracted.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st.getOrElse("processed", 0L) == total, s"statuses: $st")
+    // ~10% PDFs routed
+    val types = extracted.groupBy("doc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.filterKeys(k => k != "html").values.sum == 50L, s"types: $types")
+    pages.unpersist(); extracted.unpersist()
+  }
+
+  test("determinism: two runs produce identical output (f(x)==f(x))") {
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    val a = Extract.run(pages).toDF().select("url", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val b = Extract.run(pages).toDF().select("url", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("salting: heavy host detected and fanned out over salt buckets") {
+    import org.apache.spark.sql.functions._
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    val heavy = Salting.detectHeavyHosts(pages, shareThreshold = 0.05, sampleFraction = 1.0)
+    assert(heavy == Seq("big.example.com")) // ~20% of rows by construction
+
+    val salts = pages.select(Salting.saltCol(col("url"), heavy, 8).as("salt"),
+        Salting.hostCol(col("url")).as("host"))
+      .where(col("host") === "big.example.com")
+      .select("salt").distinct().collect().map(_.getInt(0)).sorted
+    assert(salts.length > 4, s"expected fan-out over salt buckets, got ${salts.toSeq}")
+
+    // partition-size balance: max/mean ratio drops vs unsalted host partitioning
+    val p = 16
+    def maxMean(df: org.apache.spark.sql.DataFrame): Double = {
+      val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+      sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    }
+    val unsalted = pages.select("url").repartition(p, Salting.hostCol(col("url")))
+    val salted = Salting.saltedRepartition(pages.select("url"), p, heavy, 8)
+    assert(maxMean(salted) < maxMean(unsalted))
+  }
+
+  test("doc_id matches Spark's own sha2(url, 256)") {
+    import org.apache.spark.sql.functions._
+    val pages = SyntheticPages.fromDocuments(spark, sfDir).limit(20)
+    val extracted = Extract.run(pages, PipelineConf(shufflePartitions = 0)).toDF()
+    val bad = extracted
+      .where(col("doc_id") =!= sha2(col("url"), 256))
+      .count()
+    assert(bad == 0)
+  }
+}
