@@ -55,6 +55,16 @@ object SparkEntry {
         .orderBy("doc_type", "status")
     }),
 
+    "x04_batch_summary" -> ((s, dir) => {
+      val pages = SyntheticPages.fromDocuments(s, dir)
+      graft.render.Summary.batchSummary(Extract.run(pages).toDF())
+    }),
+    "x05_storage_stats" -> ((s, dir) => {
+      val pages = SyntheticPages.fromDocuments(s, dir)
+      graft.render.Summary.storageStats(Extract.run(pages).toDF())
+        .orderBy("doc_type")
+    }),
+
     // ---- catalog / aggregation operators with DuckDB oracles ----
     // A1/A2 rollup (true mean replaces the reference's pairwise mean,
     // processing_metrics.py:25-28)

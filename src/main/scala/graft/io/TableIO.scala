@@ -1,0 +1,39 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Format seam (SURVEY §7.6): all pipeline reads/writes go through this
+  * trait so the local Parquet implementation swaps for an Iceberg catalog
+  * (`writeTo` + `MERGE INTO` on url + snapshot manifests) once the runtime
+  * jar is present — nothing in pipeline/, html/ or pdf/ names a format.
+  */
+trait TableIO {
+  def read(spark: SparkSession, table: String): DataFrame
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit
+  /** Overwrite only the key-partitions present in `df` (exactly-once resume
+    * building block; Iceberg: dynamic overwrite / MERGE).
+    */
+  def overwritePartitions(df: DataFrame, table: String, partitionCol: String): Unit
+  def exists(spark: SparkSession, table: String): Boolean
+}
+
+/** Local Parquet implementation; `table` is a directory path. */
+object ParquetIO extends TableIO {
+  def read(spark: SparkSession, table: String): DataFrame = spark.read.parquet(table)
+
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.mode(mode).parquet(table)
+
+  def overwritePartitions(df: DataFrame, table: String, partitionCol: String): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic") // per-write, no session mutation
+      .partitionBy(partitionCol)
+      .mode(SaveMode.Overwrite)
+      .parquet(table)
+
+  def exists(spark: SparkSession, table: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+import graft.model.PipelineConf
+
+/** Exactly-once resumable extraction (north_rule: "resumable from checkpoint
+  * with per-partition lineage + metrics"; SURVEY §7.2 step 8).
+  *
+  * Unit of commit = a URL-hash bucket (`pmod(xxhash64(url), numBuckets)`),
+  * stable across runs and cluster sizes (unlike task partition ids). Each
+  * bucket carries an order-independent input fingerprint
+  * (`sum(xxhash64(url, length(html)))`) so resume detects input drift, not
+  * just presence.
+  *
+  * Protocol (Parquet mode; Iceberg swaps in snapshot commits via TableIO):
+  *   1. read manifest (if any) → committed (bucket, fingerprint) pairs;
+  *   2. fingerprint current input per bucket; a bucket is DONE iff its
+  *      manifest fingerprint equals the current one;
+  *   3. extract only pending buckets; write with dynamic partition
+  *      overwrite keyed by bucket (idempotent under task retry AND under
+  *      whole-job replay — a half-written bucket is simply overwritten);
+  *   4. append manifest rows LAST (data-then-manifest ordering: a crash
+  *      between 3 and 4 re-runs the bucket, never skips it).
+  *
+  * The reference's closest analogue is the status lifecycle
+  * uploaded→processing→processed/error (models/common.py:13-20) held in an
+  * in-memory dict (routers/files.py:70) that loses state on restart — the
+  * manifest is that lifecycle made durable and partition-grained.
+  */
+object Checkpoint {
+
+  final case class RunSummary(
+    bucketsTotal: Int, bucketsPending: Int, bucketsCommitted: Int,
+    rowsIn: Long, rowsOut: Long, bytesIn: Long)
+
+  def dataPath(outDir: String) = s"$outDir/data"
+  def manifestPath(outDir: String) = s"$outDir/manifest"
+
+  def bucketCol(url: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(url), lit(numBuckets.toLong)).cast("int")
+
+  /** Fingerprints of the CURRENT input, one row per bucket. `bit_xor` is
+    * order-independent and overflow-free (Spark 4 runs ANSI mode — a long
+    * `sum` of hashes would throw ARITHMETIC_OVERFLOW).
+    */
+  def fingerprints(pages: DataFrame, numBuckets: Int): DataFrame =
+    pages.select(bucketCol(col("url"), numBuckets).as("bucket"),
+        xxhash64(col("url"), length(col("html"))).as("h"),
+        length(col("html")).cast("long").as("bytes"))
+      .groupBy("bucket")
+      .agg(expr("bit_xor(h)").as("input_fingerprint"),
+        count(lit(1)).as("rows_in"),
+        sum("bytes").as("bytes_in"))
+
+  /** Run or resume. Returns the summary; output lands at dataPath(outDir). */
+  def run(pages: DataFrame, outDir: String, io: TableIO, conf: PipelineConf,
+          jobRunId: String, numBuckets: Int = 64): RunSummary = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    val fps = fingerprints(pages, numBuckets).cache()
+    val committed: Map[Int, Long] =
+      if (io.exists(spark, manifestPath(outDir)))
+        io.read(spark, manifestPath(outDir))
+          .select("bucket", "input_fingerprint", "committed_seq")
+          .collect()
+          .groupBy(_.getInt(0))
+          // latest manifest row per bucket wins (re-extraction overwrites)
+          .map { case (b, rows) => b -> rows.maxBy(_.getLong(2)).getLong(1) }
+      else Map.empty
+
+    val current = fps.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pending = current.filter { case (b, fp, _, _) => !committed.get(b).contains(fp) }
+    val pendingBuckets = pending.map(_._1).toSet
+
+    if (pendingBuckets.nonEmpty) {
+      val todo = pages
+        .withColumn("bucket", bucketCol(col("url"), numBuckets))
+        .where(col("bucket").isin(pendingBuckets.toSeq: _*))
+      val heavy = Salting.detectHeavyHosts(todo)
+      val extracted = Extract.runWithHosts(todo.select("url", "html"), conf, heavy)
+        .toDF()
+        .withColumn("bucket", bucketCol(col("url"), numBuckets))
+      // 3: data first (dynamic overwrite per bucket — idempotent)
+      io.overwritePartitions(extracted, dataPath(outDir), "bucket")
+
+      // 4: manifest last
+      val seq = System.currentTimeMillis() // ordering only, never in data
+      val manifest = pending.toSeq.toDF("bucket", "input_fingerprint", "rows_in", "bytes_in")
+        .withColumn("rows_out", col("rows_in")) // kernel is total: one row out per row in
+        .withColumn("job_run_id", lit(jobRunId))
+        .withColumn("committed_seq", lit(seq))
+      io.write(manifest, manifestPath(outDir), SaveMode.Append)
+    }
+
+    val rowsIn = current.map(_._3).sum
+    val bytesIn = current.map(_._4).sum
+    fps.unpersist()
+    RunSummary(current.length, pending.length, current.length - pending.length,
+      rowsIn, rowsIn, bytesIn)
+  }
+}

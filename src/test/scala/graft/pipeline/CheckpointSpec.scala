@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.io.{ParquetIO, SyntheticPages}
+import graft.model.PipelineConf
+
+/** Exactly-once resume properties (FIXTURES.md §3.5: "re-running a killed
+  * job from the manifest produces identical table contents").
+  */
+class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val conf = PipelineConf(shufflePartitions = 8)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("checkpoint-spec")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def freshDir(): String =
+    Files.createTempDirectory("ckpt").toString
+
+  test("full run commits all buckets; immediate re-run processes zero") {
+    val out = freshDir()
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val s1 = Checkpoint.run(pages, out, ParquetIO, conf, "run-1", numBuckets = 16)
+    assert(s1.bucketsPending == s1.bucketsTotal)
+    assert(spark.read.parquet(Checkpoint.dataPath(out)).count() == pages.count())
+
+    val s2 = Checkpoint.run(pages, out, ParquetIO, conf, "run-2", numBuckets = 16)
+    assert(s2.bucketsPending == 0)
+    assert(s2.bucketsCommitted == s2.bucketsTotal)
+    pages.unpersist()
+  }
+
+  test("partial first run resumes to identical contents as a one-shot run") {
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+
+    // one-shot reference output
+    val outFull = freshDir()
+    Checkpoint.run(pages, outFull, ParquetIO, conf, "oneshot", numBuckets = 16)
+    val full = spark.read.parquet(Checkpoint.dataPath(outFull))
+      .select("url", "doc_id", "text", "status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted
+
+    // "killed" first run: only half the buckets were fed in
+    val outPart = freshDir()
+    val half = pages.where(Checkpoint.bucketCol(col("url"), 16) < 8)
+    Checkpoint.run(half, outPart, ParquetIO, conf, "killed-run", numBuckets = 16)
+    val afterHalf = spark.read.parquet(Checkpoint.dataPath(outPart)).count()
+    assert(afterHalf == half.count())
+
+    // resume with the full input: only the missing buckets run
+    val s = Checkpoint.run(pages, outPart, ParquetIO, conf, "resume-run", numBuckets = 16)
+    assert(s.bucketsPending > 0 && s.bucketsPending < s.bucketsTotal,
+      s"expected partial resume, got $s")
+
+    val resumed = spark.read.parquet(Checkpoint.dataPath(outPart))
+      .select("url", "doc_id", "text", "status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted
+    assert(resumed.sameElements(full))
+    pages.unpersist()
+  }
+
+  test("input drift in one bucket re-extracts exactly that bucket") {
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val out = freshDir()
+    Checkpoint.run(pages, out, ParquetIO, conf, "run-1", numBuckets = 16)
+
+    // drift: swap in different html for the rows of one bucket
+    val drifted = pages.withColumn("html",
+      when(Checkpoint.bucketCol(col("url"), 16) === 3,
+        lit("<html><body><p>changed content entirely</p></body></html>".getBytes("UTF-8")))
+        .otherwise(col("html")))
+    val s = Checkpoint.run(drifted, out, ParquetIO, conf, "run-2", numBuckets = 16)
+    assert(s.bucketsPending == 1, s"expected exactly the drifted bucket, got $s")
+
+    val changed = spark.read.parquet(Checkpoint.dataPath(out))
+      .where(col("text") === "changed content entirely").count()
+    val inBucket = pages.where(Checkpoint.bucketCol(col("url"), 16) === 3).count()
+    assert(changed == inBucket)
+    pages.unpersist()
+  }
+
+  test("manifest carries lineage columns") {
+    val out = freshDir()
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001")
+    Checkpoint.run(pages, out, ParquetIO, conf, "lineage-run", numBuckets = 8)
+    val m = spark.read.parquet(Checkpoint.manifestPath(out))
+    assert(m.columns.toSet == Set("bucket", "input_fingerprint", "rows_in",
+      "bytes_in", "rows_out", "job_run_id", "committed_seq"))
+    assert(m.where(col("job_run_id") === "lineage-run").count() == 8)
+    val totals = m.agg(sum("rows_in")).collect()(0).getLong(0)
+    assert(totals == 500L)
+  }
+}
