@@ -118,9 +118,132 @@ object SparkEntry {
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
+    // ---- training-data pipeline ops (text analysis / dedup / similarity /
+    //      multimodal) ----
+    "t01_token_stats" -> ((s, dir) => {
+      import graft.ops.TextStats._
+      documents(s, dir).select(col("doc_id"),
+        tokenCountWs(col("text")).as("token_count_ws"),
+        tokenCountBpe(col("text")).as("token_count_bpe"),
+        charLen(col("text")).as("char_len"),
+        spaceCount(col("text")).as("space_cnt"),
+        digitCount(col("text")).as("digit_cnt"),
+        punctCount(col("text")).as("punct_cnt"),
+        upperCount(col("text")).as("upper_cnt"))
+    }),
+    "t02_quality" -> ((s, dir) => {
+      import graft.ops.TextStats._
+      documents(s, dir).select(col("doc_id"),
+        round(qualityScore(col("text")), 6).as("quality_score"))
+    }),
+    "t03_langid" -> ((s, dir) => {
+      import graft.ops.TextStats._
+      documents(s, dir).select(col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"),
+        fingerprint64(col("text")).as("fingerprint"))
+    }),
+    "d01_exact_dup_groups" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(sha2(col("text").cast("binary"), 256).as("content_hash"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1)
+    }),
+    "d02_minhash_pairs" -> ((s, dir) => {
+      val sigs = graft.ops.Dedup.signatures(documents(s, dir), "doc_id", "text")
+      graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "d03_simhash_pairs" -> ((s, dir) => {
+      val hashes = graft.ops.Dedup.simhashes(documents(s, dir), "doc_id", "text")
+      graft.ops.Dedup.simhashCandidates(hashes, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "d04_ngram_verified_dups" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val sigs = graft.ops.Dedup.signatures(docs, "doc_id", "text")
+      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+        .select("id_a", "id_b")
+      graft.ops.Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+    }),
+    "s01_cosine_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0).toArray
+      graft.ops.Similarity.bruteForceTopK(
+          emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+    "s02_embedding_norms" -> ((s, dir) => {
+      embeddings(s, dir).select(col("vec_id"),
+        round(graft.ops.Similarity.norm(col("embedding")), 4).as("l2norm"))
+    }),
+    "s03_ivf_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0).toArray
+      val index = graft.ops.Similarity.buildIvf(emb, "vec_id", "embedding", numLists = 16)
+      graft.ops.Similarity.ivfTopK(index, q, 10, nprobe = 4)
+        .select(col("id"), round(col("cos"), 4).as("cos"))
+    }),
+    "s04_cosine_near_dups" -> ((s, dir) => {
+      graft.ops.Similarity.cosineNearDupPairs(
+          embeddings(s, dir), "vec_id", "embedding", minCosine = 0.85)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+    "m01_multimodal_features" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.synthesize(documents(s, dir))
+      graft.ops.Multimodal.extractFeatures(assets)
+        .select(col("doc_id"), col("kind"), col("byte_len"), col("frames_sampled"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS token_count_ws,
+        | length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token_count_bpe,
+        | length(text) AS char_len,
+        | length(text) - length(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS space_cnt,
+        | length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+        | length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct_cnt,
+        | length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_cnt
+        |FROM documents""".stripMargin,
+    "t02_quality" ->
+      """SELECT doc_id, round(
+        |  greatest(0.0,
+        |    least(length(text) / 500.0, 1.0) * 30.0
+        |    + least((CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE length(regexp_split_to_array(trim(text), '\s+')) END) / 80.0, 1.0) * 30.0
+        |    + 40.0
+        |    - least((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+        |            / greatest(length(text), 1.0) * 100.0, 20.0)
+        |    - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |            / greatest(length(text), 1.0) * 50.0, 10.0)
+        |    - least((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+        |            / greatest(length(text), 1.0) * 50.0, 10.0)
+        |  ), 6) AS quality_score
+        |FROM documents""".stripMargin,
+    "d01_exact_dup_groups" ->
+      """SELECT sha256(text) AS content_hash, count(*) AS cnt
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "s02_embedding_norms" ->
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2norm
+        |FROM embeddings""".stripMargin,
+    "s01_cosine_topk" ->
+      """SELECT e.vec_id,
+        | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |   / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+        |      * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))), 4) AS cos
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "q01_pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -155,4 +278,5 @@ object SparkEntry {
   private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
   private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
   private def documents(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
 }

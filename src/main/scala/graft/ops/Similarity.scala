@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Baseline: brute-force cosine top-k as pure Catalyst higher-order
+  * expressions (`zip_with` dot product + `aggregate` fold — codegen-friendly,
+  * no UDF). Scale path: IVF — deterministic coarse centroids, one-pass
+  * assignment, probe only the query's nearest `nprobe` lists (reads
+  * `nprobe/C` of the corpus instead of all of it; at 100 TB the lists are
+  * the partition key, so a probe is a partition-pruned scan, not a shuffle).
+  *
+  * Embedding near-dup (training-data dedup by semantics): cosine ≥ τ via
+  * random-hyperplane LSH (deterministic seeds) then exact verification at
+  * candidate cardinality.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision (float arrays upcast element-wise). */
+  def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector (the oracle baseline).
+    * One scan, one narrow projection, a k-row sort — no shuffle of vectors.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Double], k: Int): DataFrame = {
+    val q = typedLit(query)
+    emb.select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  // --- IVF ---------------------------------------------------------------
+
+  final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  /** Deterministic coarse quantizer: every (n/C)-th vector by id is a
+    * centroid (k-means would be better; determinism and zero iterations
+    * matter more here — centroid quality only affects recall, verified in
+    * tests). Assignment = one mapPartitions pass with the centroid matrix
+    * on the closure (broadcast-sized: C × dim doubles).
+    */
+  def buildIvf(emb: DataFrame, idCol: String, vecCol: String, numLists: Int): IvfIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+
+    // collect only the C centroid vectors, never the corpus
+    val n = typed.count()
+    val step = math.max(n / math.max(numLists, 1), 1L)
+    val centroids = typed.filter(_._1 % step == 0).collect()
+      .sortBy(_._1).take(numLists).zipWithIndex
+      .map { case ((_, v), ci) => (ci, normalize(v)) }
+
+    val assigned = typed.mapPartitions { it =>
+      it.map { case (id, v) =>
+        (id, v, nearestCentroid(normalize(v), centroids))
+      }
+    }.toDF("id", "vec", "list_id")
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Probe `nprobe` nearest lists; exact cosine inside them. Returns top-k. */
+  def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
+    val qn = normalize(query)
+    val probeLists = index.centroids
+      .map { case (ci, c) => (ci, dotLocal(qn, c)) }
+      .sortBy { case (ci, d) => (-d, ci) }
+      .take(nprobe).map(_._1).toSeq
+    val q = typedLit(query)
+    index.assigned
+      .where(col("list_id").isin(probeLists: _*))
+      .select(col("id"), cosine(col("vec"), q).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  // --- random-hyperplane LSH for cosine near-dup --------------------------
+
+  /** Sign-bit signature under `bits` deterministic pseudo-random hyperplanes.
+    * Hyperplane components derive from splitmix64(bit, dim) — no stored
+    * model, identical on every executor.
+    */
+  def rhpSignature(v: Array[Double], bits: Int): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        // deterministic N(0,1)-ish component via two uniform hashes
+        val h = Dedup.splitmix64(b.toLong * 131071L + i)
+        val u = (h >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+        s += v(i) * (u - 0.5)
+        i += 1
+      }
+      if (s > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Pairs with cosine ≥ minCosine: 16-bit-chunk LSH candidates → exact
+    * verification (same pigeonhole shape as Dedup.simhashCandidates).
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double = 0.9, maxBucketSize: Int = 256): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sigs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, v, rhpSignature(normalize(v), 64)) })
+      .toDF("id", "vec", "sig")
+
+    val banded = sigs.select(col("id"), col("sig"), explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("ckey", expr("(sig >> (chunk * 16)) & 65535"))
+
+    val pairs = banded.groupBy("chunk", "ckey")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("_1"), b.as("_2")))))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+
+    val va = sigs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = sigs.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
+  // --- local math ---------------------------------------------------------
+
+  def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def nearestCentroid(vNorm: Array[Double], centroids: Array[(Int, Array[Double])]): Int = {
+    var best = -1; var bestDot = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val d = dotLocal(vNorm, centroids(i)._2)
+      if (d > bestDot) { bestDot = d; best = centroids(i)._1 }
+      i += 1
+    }
+    best
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for every Spark suite (forked test JVM dies at
+  * the end of `sbt test`; never stopped mid-run).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi",
+    "rho", "sigma", "tau", "upsilon")
+
+  private def randomDoc(words: Int): String =
+    Vector.fill(words)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  /** mutate a fraction of words → a near-duplicate */
+  private def mutate(doc: String, fraction: Double): String = {
+    val w = doc.split(" ")
+    val n = math.max(1, (w.length * fraction).toInt)
+    val idx = rnd.shuffle(w.indices.toList).take(n)
+    idx.foreach(i => w(i) = vocab(rnd.nextInt(vocab.size)))
+    w.mkString(" ")
+  }
+
+  test("exactGroups finds exact duplicates only") {
+    val docs = Seq(
+      (1L, "identical content here"), (2L, "identical content here"),
+      (3L, "different content")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.15") {
+    (1 to 8).foreach { _ =>
+      val a = randomDoc(120)
+      val b = mutate(a, 0.15)
+      val p = Dedup.MinHashParams()
+      val sa = Dedup.minhashSignature(a, p)
+      val sb = Dedup.minhashSignature(b, p)
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / p.numHashes
+      val exact = Dedup.jaccard(Dedup.shingleSet(a, 3), Dedup.shingleSet(b, 3))
+      assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+    }
+  }
+
+  test("minhash LSH finds near-duplicate pairs, skips unrelated docs") {
+    val base = randomDoc(150)
+    val near = mutate(base, 0.05)
+    val docs = ((1L, base) +: (2L, near) +:
+      (3L to 40L).map(i => (i, randomDoc(150)))).toDF("doc_id", "text")
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    val pairs = Dedup.minhashCandidates(sigs, minEstJaccard = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)), s"pairs=${found.mkString(",")}")
+    // unrelated random docs of 150 words don't reach est 0.5
+    assert(found.forall { case (a, b) => (a, b) == ((1L, 2L)) })
+  }
+
+  test("ngramJaccard verifies LSH candidates with exact similarity") {
+    val base = randomDoc(150)
+    val near = mutate(base, 0.05)
+    val docs = Seq((1L, base), (2L, near), (3L, randomDoc(150))).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val ver = Dedup.ngramJaccard(pairs, docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ver((1L, 2L)) > 0.6)
+    assert(ver((1L, 3L)) < 0.2)
+  }
+
+  test("simhash: identical texts → distance 0; small edit → small distance") {
+    val a = randomDoc(200)
+    assert(Dedup.simhash64(a) == Dedup.simhash64(a))
+    val b = mutate(a, 0.03)
+    val d = java.lang.Long.bitCount(Dedup.simhash64(a) ^ Dedup.simhash64(b))
+    assert(d <= 12, s"hamming=$d")
+    val c = randomDoc(200)
+    val far = java.lang.Long.bitCount(Dedup.simhash64(a) ^ Dedup.simhash64(c))
+    assert(far > d)
+  }
+
+  test("simhash LSH candidates find near-identical docs") {
+    val base = randomDoc(300)
+    val near = mutate(base, 0.01)
+    val docs = ((1L, base) +: (2L, near) +:
+      (3L to 30L).map(i => (i, randomDoc(300)))).toDF("doc_id", "text")
+    val hashes = Dedup.simhashes(docs, "doc_id", "text")
+    val pairs = Dedup.simhashCandidates(hashes, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"pairs=$pairs")
+  }
+
+  test("signatures are deterministic across partitionings") {
+    val docs = (1L to 50L).map(i => (i, randomDoc(60))).toDF("doc_id", "text")
+    val s1 = Dedup.signatures(docs.repartition(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val s8 = Dedup.signatures(docs.repartition(8), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(s1.sameElements(s8))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+  private lazy val queryVec: Array[Double] = emb.where(col("vec_id") === 0)
+    .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+
+  test("brute-force cosine top-k: sane bounds, self excluded by filtering") {
+    val top = Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec, 10).collect()
+    assert(top.length == 10)
+    val cos = top.map(_.getDouble(1))
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    assert(cos.sameElements(cos.sorted.reverse))
+  }
+
+  test("query vector finds itself with cosine ~1.0") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryVec, 1).collect()
+    assert(top(0).getAs[Number]("vec_id").longValue == 0L)
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("IVF with all lists probed == brute force; nprobe=4 recall ≥ 0.5") {
+    val index = Similarity.buildIvf(emb, "vec_id", "embedding", numLists = 16)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryVec, 10)
+      .collect().map(_.getAs[Number]("vec_id").longValue).toSet
+
+    val full = Similarity.ivfTopK(index, queryVec, 10, nprobe = 16)
+      .collect().map(_.getAs[Number]("id").longValue).toSet
+    assert(full == bf, s"ivf full probe=$full bf=$bf")
+
+    val probed = Similarity.ivfTopK(index, queryVec, 10, nprobe = 4)
+      .collect().map(_.getAs[Number]("id").longValue).toSet
+    val recall = probed.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("cosine near-dup pairs: planted near-identical vectors found") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(32)(rnd.nextGaussian())
+    val v = vec()
+    val vNear = v.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01 else 0.0) }
+    val rows = ((100L, v) +: (101L, vNear) +:
+      (1L to 60L).map(i => (i, vec()))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(rows, "vec_id", "embedding", minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"pairs=$pairs")
+  }
+
+  test("rhp signature deterministic and locality-sensitive") {
+    val rnd = new scala.util.Random(3)
+    val v = Array.fill(64)(rnd.nextGaussian())
+    assert(Similarity.rhpSignature(v, 64) == Similarity.rhpSignature(v.clone(), 64))
+    val near = v.map(_ * 1.0001)
+    val d = java.lang.Long.bitCount(
+      Similarity.rhpSignature(Similarity.normalize(v), 64) ^
+      Similarity.rhpSignature(Similarity.normalize(near), 64))
+    assert(d <= 2)
+  }
+}

@@ -4,30 +4,16 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.BeforeAndAfterAll
 import graft.io.{ParquetIO, SyntheticPages}
 import graft.model.PipelineConf
 
 /** Exactly-once resume properties (FIXTURES.md §3.5: "re-running a killed
   * job from the manifest produces identical table contents").
   */
-class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
+class CheckpointSpec extends AnyFunSuite {
 
-  private var spark: SparkSession = _
+  private val spark: SparkSession = graft.TestSpark.spark
   private val conf = PipelineConf(shufflePartitions = 8)
-
-  override def beforeAll(): Unit = {
-    spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("checkpoint-spec")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-
-  override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def freshDir(): String =
     Files.createTempDirectory("ckpt").toString

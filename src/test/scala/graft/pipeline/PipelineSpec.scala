@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.BeforeAndAfterAll
 import graft.io.SyntheticPages
 import graft.model.PipelineConf
 
@@ -10,23 +9,10 @@ import graft.model.PipelineConf
   * the byte-identical golden gate (north_rule) plus scale-mechanics
   * properties (FIXTURES.md §3.5).
   */
-class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+class PipelineSpec extends AnyFunSuite {
 
-  private var spark: SparkSession = _
+  private val spark: SparkSession = graft.TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
-
-  override def beforeAll(): Unit = {
-    spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("pipeline-spec")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-
-  override def afterAll(): Unit = if (spark != null) spark.stop()
 
   test("golden gate: extracted text byte-identical per url, zero mismatches") {
     val pages = SyntheticPages.fromDocuments(spark, sfDir).cache()
