@@ -1,24 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: every SparkEntry query timed once, plus the
+  * headline extraction-throughput measurement (docs/sec, MB/sec) on a
+  * replica-amplified pages corpus. Prints ONE JSON line.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4),
+  * SPARK_GRAFT_REPLICAS (default 8 — ~40k pages at sf0.1).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+
+    // headline: end-to-end extraction throughput (BASELINE.json metric)
+    val pages = io.SyntheticPages.fromDocuments(spark, sfDir, replicas).cache()
+    val docs = pages.count() // materialize cache: payload generation not timed
+    val bytes = pages.agg(sum(length(col("html")))).collect()(0).getLong(0)
+    val t0 = System.nanoTime()
+    val outRows = pipeline.Extract
+      .run(pages, model.PipelineConf(shufflePartitions = cpus.toInt * 2))
+      .toDF().count()
+    val extractSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = docs / extractSec
+    val mbPerSec = bytes / 1048576.0 / extractSec
+    pages.unpersist()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - t) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def f3(d: Double) = "%.3f".format(d)
+    val total = f3(results.map(_._2).sum + extractSec)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""extract_docs":$docs,"extract_mb":${f3(bytes / 1048576.0)},""" +
+      s""""extract_sec":${f3(extractSec)},"docs_per_sec":${f3(docsPerSec)},""" +
+      s""""mb_per_sec":${f3(mbPerSec)},"cpus":$cpus,"replicas":$replicas,""" +
+      s""""golden_rows_out":$outRows}""")
     spark.stop()
   }
 }

@@ -31,14 +31,15 @@ object SparkEntry {
     // ---- extraction pipeline (SURVEY §2.2/2.3; golden gate) ----
     "x01_extract" -> ((s, dir) => {
       val pages = SyntheticPages.fromDocuments(s, dir)
-      Extract.run(pages).toDF()
+      // generator output is already hash-distributed -> narrow pipeline
+      Extract.runNarrow(pages).toDF()
         .select("url", "doc_id", "doc_type", "status", "charset", "confidence",
           "page_count", "text_len", "word_count")
         .orderBy("url")
     }),
     "x02_golden_check" -> ((s, dir) => {
       val pages = SyntheticPages.fromDocuments(s, dir)
-      val extracted = Extract.run(pages).toDF()
+      val extracted = Extract.runNarrow(pages).toDF()
       val joined = extracted.select(col("url"), col("status"), col("text").as("actual"))
         .join(pages.select(col("url"), col("text").as("expected")), Seq("url"))
       joined.agg(
@@ -49,7 +50,7 @@ object SparkEntry {
     }),
     "x03_type_counts" -> ((s, dir) => {
       val pages = SyntheticPages.fromDocuments(s, dir)
-      Extract.run(pages).toDF()
+      Extract.runNarrow(pages).toDF()
         .groupBy("doc_type", "status")
         .agg(count(lit(1)).as("cnt"), round(avg("confidence"), 2).as("avg_conf"))
         .orderBy("doc_type", "status")
@@ -57,11 +58,11 @@ object SparkEntry {
 
     "x04_batch_summary" -> ((s, dir) => {
       val pages = SyntheticPages.fromDocuments(s, dir)
-      graft.render.Summary.batchSummary(Extract.run(pages).toDF())
+      graft.render.Summary.batchSummary(Extract.runNarrow(pages).toDF())
     }),
     "x05_storage_stats" -> ((s, dir) => {
       val pages = SyntheticPages.fromDocuments(s, dir)
-      graft.render.Summary.storageStats(Extract.run(pages).toDF())
+      graft.render.Summary.storageStats(Extract.runNarrow(pages).toDF())
         .orderBy("doc_type")
     }),
 

@@ -127,17 +127,41 @@ object SyntheticPages {
   }
 
   /** Spark derivation: documents.parquet → pages DataFrame (Page schema).
-    * Column-pruned scan; one narrow mapPartitions, no shuffle.
+    *
+    * The narrow source rows are repartitioned BEFORE the generative
+    * flatMap: documents.parquet is a single row-group at small SF, so
+    * without it the whole payload synthesis would run in ONE scan task
+    * and serialize the job regardless of core count.
+    *
+    * `replicas` > 1 amplifies the corpus deterministically for throughput
+    * benchmarks: variant v of doc d gets id `d * replicas + v` and a
+    * v-rotated word stream (distinct content, same statistical shape).
     */
-  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+  def fromDocuments(spark: SparkSession, sfDir: String, replicas: Int = 1,
+                    partitions: Int = 0): DataFrame = {
     import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
       .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, text, lang) =>
-        val s = pageFor(id, if (text == null) "" else text, if (lang == null) "en" else lang)
-        Page(s.url, new Timestamp(s.tsMillis), s.payload, s.golden, s.lang)
+      .repartition(p)
+      .mapPartitions(_.flatMap { case (id, text0, lang0) =>
+        val text = if (text0 == null) "" else text0
+        val lang = if (lang0 == null) "en" else lang0
+        (0 until replicas).iterator.map { v =>
+          val vid = id * replicas + v
+          val vtext = if (v == 0) text else rotateWords(text, v)
+          val s = pageFor(vid, vtext, lang)
+          Page(s.url, new Timestamp(s.tsMillis), s.payload, s.golden, s.lang)
+        }
       })
       .toDF()
+  }
+
+  private def rotateWords(text: String, v: Int): String = {
+    val w = text.trim.split("\\s+")
+    if (w.length < 2) return text + " v" + v
+    val k = v % w.length
+    (w.drop(k) ++ w.take(k)).mkString(" ") + " v" + v
   }
 }

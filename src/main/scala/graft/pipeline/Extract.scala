@@ -21,10 +21,15 @@ import graft.model.{ExtractedDoc, PipelineConf}
 object Extract {
 
   def run(pages: DataFrame, conf: PipelineConf = PipelineConf()): Dataset[ExtractedDoc] = {
-    val spark = pages.sparkSession
-    val heavy = Salting.detectHeavyHosts(pages)
-    runWithHosts(pages, conf, heavy)
+    if (conf.shufflePartitions <= 0) runWithHosts(pages, conf, Nil) // pre-partitioned input
+    else runWithHosts(pages, conf, Salting.detectHeavyHosts(pages))
   }
+
+  /** Narrow variant for input that is already hash-distributed (bucketed
+    * table / generator output): no heavy-host pass, no runtime shuffle.
+    */
+  def runNarrow(pages: DataFrame): Dataset[ExtractedDoc] =
+    runWithHosts(pages, PipelineConf(shufflePartitions = 0), Nil)
 
   /** Variant with pre-detected heavy hosts (resume jobs pass the manifest's). */
   def runWithHosts(pages: DataFrame, conf: PipelineConf,
