@@ -32,7 +32,8 @@ object Boilerplate {
     tables: Vector[TableData],
     confidence: Double,
     blocksTotal: Int,
-    blocksKept: Int)
+    blocksKept: Int,
+    title: String)
 
   def keep(b: Block): Boolean =
     !b.inBoiler && b.text.nonEmpty && 3L * b.linkChars <= b.textChars
@@ -54,6 +55,21 @@ object Boilerplate {
     val totalChars = seg.blocks.iterator.map(_.textChars.toLong).sum
     val keptChars = kept.iterator.map(_.textChars.toLong).sum
     val conf = if (totalChars == 0L) 0.0 else 100.0 * keptChars / totalChars
-    HtmlExtract(text, charset, spans, seg.tables, conf, seg.blocks.size, kept.size)
+    HtmlExtract(text, charset, spans, seg.tables, conf, seg.blocks.size, kept.size,
+      titleOf(dom))
+  }
+
+  /** `<title>` text (document metadata — S5 analogue for the HTML path). */
+  def titleOf(root: DomBuilder.Elem): String = {
+    def find(e: DomBuilder.Elem): Option[String] = {
+      e.children.iterator.flatMap {
+        case t: DomBuilder.Elem if t.name == "title" =>
+          val raw = t.children.collect { case x: DomBuilder.Text => x.raw }.mkString
+          Some(Blocks.collapse(graft.text.Entities.decode(raw)))
+        case t: DomBuilder.Elem => find(t)
+        case _ => None
+      }.take(1).toSeq.headOption
+    }
+    find(root).getOrElse("")
   }
 }

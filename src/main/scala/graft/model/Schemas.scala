@@ -37,7 +37,8 @@ final case class ExtractedDoc(
   status: String,       // processed | error (models/common.py:13-20 lifecycle)
   error: String,        // null unless status = error
   text_len: Int,
-  word_count: Int)
+  word_count: Int,
+  metadata: Map[String, String])
 
 /** Per-partition lineage/manifest row (SURVEY.md §7.2 step 8). */
 final case class ManifestRow(

@@ -19,7 +19,7 @@ object MiniPdf {
     * `withFont = false` omits the /Font resource (image-only/scanned shapes).
     */
   def build(pageStreams: Seq[String], flate: Boolean = false, padTo: Int = 1024,
-            withFont: Boolean = true): Array[Byte] = {
+            withFont: Boolean = true, info: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
 
@@ -35,6 +35,13 @@ object MiniPdf {
     obj { w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n") }
     obj { w(s"2 0 obj\n<< /Type /Pages /Kids [ $kidRefs ] /Count $nPages >>\nendobj\n") }
     obj { w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n") }
+    if (info.nonEmpty) {
+      val infoNum = 4 + 2 * nPages
+      obj {
+        val entries = info.map { case (k, v) => s"/$k (${escape(v)})" }.mkString(" ")
+        w(s"$infoNum 0 obj\n<< $entries >>\nendobj\n")
+      }
+    }
 
     pageStreams.zipWithIndex.foreach { case (content, i) =>
       val pageNum = 4 + 2 * i

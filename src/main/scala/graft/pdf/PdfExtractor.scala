@@ -28,7 +28,8 @@ object PdfExtractor {
     spans: Vector[SpanRow],
     pageCount: Int,
     confidence: Double,
-    docType: String)
+    docType: String,
+    metadata: Map[String, String])
 
   def extract(bytes: Array[Byte]): Either[String, PdfDoc] = {
     val objs = parseAll(bytes)
@@ -84,7 +85,30 @@ object PdfExtractor {
       else "mixed"
 
     val confidence = 100.0 * pagesWithText / pageCount
-    Right(PdfDoc(text, allSpans.result(), pageCount, confidence, docType))
+    Right(PdfDoc(text, allSpans.result(), pageCount, confidence, docType, docInfo(objs)))
+  }
+
+  /** Document metadata from the /Info dictionary (S5: the reference's
+    * `get_file_metadata` title/author/producer/dates probe,
+    * pdf_info_adapter.py:55-90). The /Info dict is found by key shape
+    * (no /Type on Info dicts; trailer parsing skipped — body scan keeps
+    * this xref-independent, consistent with `parseAll`).
+    */
+  def docInfo(objs: Objects): Map[String, String] = {
+    val keys = Seq("Title", "Author", "Subject", "Producer", "Creator",
+      "CreationDate", "ModDate")
+    objs.byNum.toSeq.sortBy(_._1).iterator.map(_._2).collectFirst {
+      case d: PDict if keys.count(d.m.contains) >= 1 &&
+        !d.m.contains("Type") && !d.m.contains("Kids") && !d.m.contains("Contents") =>
+        keys.flatMap { k =>
+          d.m.get(k) match {
+            case Some(PStr(b)) =>
+              Some(k.toLowerCase(java.util.Locale.ROOT) ->
+                new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+            case _ => None
+          }
+        }.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** Walk the catalog page tree; fall back to file-order /Type /Page scan. */

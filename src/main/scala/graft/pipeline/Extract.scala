@@ -80,7 +80,8 @@ object Extract {
       status = r.status,
       error = r.error,
       text_len = r.text.length,
-      word_count = wc)
+      word_count = wc,
+      metadata = r.metadata)
   }
 
   /** Deterministic id — replaces the reference's uuid4 (entities/document.py:42);

@@ -21,7 +21,8 @@ object Kernel {
     pageCount: Int,
     charset: String,
     status: String,
-    error: String)
+    error: String,
+    metadata: Map[String, String])
 
   val PdfMagic: Array[Byte] = "%PDF-".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -35,10 +36,12 @@ object Kernel {
   /** Total per-row extraction. Never throws. */
   def extractOne(bytes: Array[Byte]): Result = {
     if (bytes == null || bytes.isEmpty)
-      return Result("unknown", "", Vector.empty, Vector.empty, 0.0, 0, "", "error", "empty_payload")
+      return Result("unknown", "", Vector.empty, Vector.empty, 0.0, 0, "", "error",
+        "empty_payload", Map.empty)
     if (isPdf(bytes)) {
       if (bytes.length < MinPdfBytes)
-        Result("pdf", "", Vector.empty, Vector.empty, 0.0, 0, "", "error", "pdf_too_small")
+        Result("pdf", "", Vector.empty, Vector.empty, 0.0, 0, "", "error",
+          "pdf_too_small", Map.empty)
       else extractPdf(bytes)
     } else extractHtml(bytes)
   }
@@ -55,11 +58,12 @@ object Kernel {
         pageCount = 1,
         charset = r.charset,
         status = "processed",
-        error = null)
+        error = null,
+        metadata = if (r.title.isEmpty) Map.empty else Map("title" -> r.title))
     } catch { // belt-and-braces: the extractor is total by design, but a kernel must never kill a task
       case e: Throwable =>
         Result("html", "", Vector.empty, Vector.empty, 0.0, 0, "", "error",
-          s"html_extract_failed: ${e.getClass.getSimpleName}")
+          s"html_extract_failed: ${e.getClass.getSimpleName}", Map.empty)
     }
   }
 
@@ -69,14 +73,14 @@ object Kernel {
       doc match {
         case Right(d) =>
           Result(d.docType, d.text, d.spans, Vector.empty, d.confidence,
-            d.pageCount, "pdf", "processed", null)
+            d.pageCount, "pdf", "processed", null, d.metadata)
         case Left(err) =>
-          Result("pdf", "", Vector.empty, Vector.empty, 0.0, 0, "pdf", "error", err)
+          Result("pdf", "", Vector.empty, Vector.empty, 0.0, 0, "pdf", "error", err, Map.empty)
       }
     } catch {
       case e: Throwable =>
         Result("pdf", "", Vector.empty, Vector.empty, 0.0, 0, "pdf", "error",
-          s"pdf_parse_failed: ${e.getClass.getSimpleName}")
+          s"pdf_parse_failed: ${e.getClass.getSimpleName}", Map.empty)
     }
   }
 }

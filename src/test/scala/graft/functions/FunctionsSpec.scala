@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface of the extraction kernel + text ops (SURVEY §2.8 v2). */
+class FunctionsSpec extends AnyFunSuite {
+
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("graft_extract in SQL: same result as the kernel path") {
+    val html = "<html><head><title>T</title></head><body><nav><a href=x>menu</a></nav>" +
+      "<p>Real content paragraph.</p></body></html>"
+    Seq(("u1", html.getBytes("UTF-8"))).toDF("url", "html")
+      .createOrReplaceTempView("pages_v")
+    val row = spark.sql(
+      """SELECT e.text, e.doc_type, e.status, e.charset, e.title
+        |FROM (SELECT graft_extract(html) AS e FROM pages_v)""".stripMargin).head()
+    assert(row.getString(0) == "Real content paragraph.")
+    assert(row.getString(1) == "html")
+    assert(row.getString(2) == "processed")
+    assert(row.getString(3) == "UTF-8")
+    assert(row.getString(4) == "T")
+  }
+
+  test("graft_extract routes PDF payloads too") {
+    val pdf = graft.pdf.MiniPdf.singlePage(Seq(("Desde SQL", 72, 700)))
+    Seq(("u2", pdf)).toDF("url", "html").createOrReplaceTempView("pages_pdf_v")
+    val row = spark.sql(
+      "SELECT graft_extract(html).text, graft_extract(html).doc_type FROM pages_pdf_v").head()
+    assert(row.getString(0) == "Desde SQL")
+    assert(row.getString(1) == "mixed")
+  }
+
+  test("graft_extract rejects non-binary input at analysis time") {
+    Seq(("u3", "not binary")).toDF("url", "html").createOrReplaceTempView("pages_bad_v")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_extract(url) FROM pages_bad_v").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("column-tree functions work in SQL and stay consistent with the Column API") {
+    val df = Seq((1L, "El perro salta sobre la valla y los niños juegan con el balón en el parque")).toDF("id", "text")
+    df.createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      "SELECT graft_langid(text) AS l, graft_tokens_ws(text) AS t, graft_quality(text) AS q, graft_fingerprint(text) AS f FROM docs_v").head()
+    val viaCol = df.select(
+      graft.ops.TextStats.langId(col("text")),
+      graft.ops.TextStats.tokenCountWs(col("text")),
+      graft.ops.TextStats.qualityScore(col("text")),
+      graft.ops.TextStats.fingerprint64(col("text"))).head()
+    assert(viaSql.getString(0) == viaCol.getString(0))
+    assert(viaSql.getInt(1) == viaCol.getInt(1))
+    assert(viaSql.getDouble(2) == viaCol.getDouble(2))
+    assert(viaSql.getLong(3) == viaCol.getLong(3))
+    assert(viaSql.getString(0) == "es")
+  }
+
+  test("graft_cosine over array columns in SQL") {
+    val v = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+    val o = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").head().getDouble(0)
+    assert(math.abs(o) < 1e-12)
+  }
+
+  test("GraftExtensions injects all functions into a SparkSessionExtensions registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graftbridge.Bridge.applyInjectedFunctions(
+      ext, new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry)
+    val names = reg.listFunction().map(_.funcName).toSet
+    assert(names.contains("graft_extract"))
+    assert(names.contains("graft_langid"))
+    assert(names.contains("graft_cosine"))
+    // the injected builder constructs the real expression
+    val expr = reg.lookupFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_extract"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](1, 2, 3))))
+    assert(expr.isInstanceOf[GraftFunctions.GraftExtract])
+  }
+}

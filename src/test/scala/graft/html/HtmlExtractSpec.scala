@@ -95,6 +95,13 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(html.substring(s.off, s.off + s.len) == "Hello")
   }
 
+  test("html <title> captured as metadata, not content") {
+    val r = extract("<html><head><title>Page &amp; Title</title></head>" +
+      "<body><p>Body text.</p></body></html>")
+    assert(r.title == "Page & Title")
+    assert(r.text == "Body text.")
+  }
+
   test("property: extraction is total + deterministic on mutated html") {
     val rnd = new scala.util.Random(7)
     val base = "<html><body><nav><a href=x>n</a></nav><p>Content here today.</p></body></html>"

@@ -107,6 +107,14 @@ class PdfSpec extends AnyFunSuite {
     assert(d.spans.map(_.page) == Vector(0, 0, 1))
   }
 
+  test("pdf /Info metadata extracted (S5: pdf_info_adapter.py:55-90)") {
+    val pdf = MiniPdf.build(Seq(MiniPdf.streamFor(Seq(("body", 72, 700)))),
+      info = Seq("Title" -> "Informe anual", "Author" -> "Unidad OCR", "Producer" -> "graft"))
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.metadata == Map("title" -> "Informe anual", "author" -> "Unidad OCR",
+      "producer" -> "graft"))
+  }
+
   test("property: extractor is total on corrupted variants") {
     val base = MiniPdf.build(Seq(MiniPdf.streamFor(Seq(("Some stable text here", 100, 700)))), flate = true)
     val rnd = new scala.util.Random(11)

@@ -10,7 +10,7 @@ class RenderSpec extends AnyFunSuite {
     text = "TITULO CORTO\n\nFirst paragraph here.\n\nSecond one.",
     spans = Nil, tables = Seq(TableRow(Seq(Seq("a", "b"), Seq("1", "2")), 1.0)),
     confidence = 91.5, page_count = 1, charset = "UTF-8", status = "processed",
-    error = null, text_len = 47, word_count = 8)
+    error = null, text_len = 47, word_count = 8, metadata = Map("title" -> "t"))
 
   test("markdown render is a pure function of row + pinned clock") {
     val a = Markdown.render(doc, "2024-01-01T00:00:00Z")
