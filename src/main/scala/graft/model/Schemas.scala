@@ -65,3 +65,34 @@ object Thresholds {
   val MediumQuality = 60.0
   val HighQuality = 80.0
 }
+
+/** Quality-profile presets (C3/SystemConfig profiles, system_config.py:18-34).
+  * DPI survives only as lineage metadata — there is no rasterization in the
+  * Spark path (SURVEY E1) — but thresholds and salting really change the job.
+  */
+object Profiles {
+  val Fast = PipelineConf(profile = "fast", confidenceThreshold = 50.0,
+    saltBuckets = 4)
+  val Balanced = PipelineConf(profile = "balanced", confidenceThreshold = 60.0)
+  val High = PipelineConf(profile = "high", confidenceThreshold = 80.0,
+    saltBuckets = 16)
+
+  def forName(name: String): PipelineConf = name match {
+    case "fast" => Fast
+    case "high" => High
+    case _ => Balanced
+  }
+
+  /** C3 per-doc-type optimal-config lookup (pdf_analyzer.py:124-176) —
+    * the reference's engine/dpi/flags table, kept as lineage metadata so
+    * downstream consumers can reproduce its routing decisions.
+    */
+  def optimalFor(docType: String): Map[String, String] = docType match {
+    case "scanned" => Map("engine" -> "layout", "dpi" -> "300", "strategy" -> "full_preprocessing")
+    case "native_text" => Map("engine" -> "basic", "dpi" -> "150", "strategy" -> "fast_native")
+    case "table_heavy" => Map("engine" -> "layout", "dpi" -> "250", "strategy" -> "table_focused")
+    case "image_heavy" => Map("engine" -> "layout", "dpi" -> "300", "strategy" -> "image_focused")
+    case "html" => Map("engine" -> "boilerplate", "dpi" -> "0", "strategy" -> "block_classify")
+    case _ => Map("engine" -> "layout", "dpi" -> "300", "strategy" -> "balanced")
+  }
+}
