@@ -1,0 +1,29 @@
+package graft.tools
+import graft.io.SyntheticPages
+object Micro {
+  def main(args: Array[String]): Unit = {
+    // build 2000 payloads locally (no Spark)
+    val docs = (0L until 2000L).map { i =>
+      SyntheticPages.pageFor(i, ("word" + i + " the quick brown fox jumps over lazy dog ") * 12, "en")
+    }
+    val htmls = docs.filter(d => !graft.pipeline.Kernel.isPdf(d.payload)).map(_.payload).toArray
+    val pdfs = docs.filter(d => graft.pipeline.Kernel.isPdf(d.payload)).map(_.payload).toArray
+    def bench(tag: String, n: Int)(f: => Unit): Unit = {
+      (1 to 3).foreach(_ => f) // warm
+      val reps = 5
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$tag%-22s min=${times.min}%8.1f ms  (${times.min * 1000 / n}%6.1f us/doc)")
+    }
+    bench("kernel-html", htmls.length) { htmls.foreach(graft.pipeline.Kernel.extractOne) }
+    bench("kernel-pdf", pdfs.length) { pdfs.foreach(graft.pipeline.Kernel.extractOne) }
+    bench("charset-only", htmls.length) { htmls.foreach(graft.text.Charsets.decode) }
+    val decoded = htmls.map(b => graft.text.Charsets.decode(b)._2)
+    bench("tokenize-only", htmls.length) { decoded.foreach(graft.html.Tokenizer.tokenize) }
+    val toks = decoded.map(graft.html.Tokenizer.tokenize)
+    bench("dom-only", htmls.length) { toks.foreach(graft.html.DomBuilder.build) }
+    val doms = toks.map(graft.html.DomBuilder.build)
+    bench("blocks-only", htmls.length) { doms.foreach(graft.html.Blocks.segment) }
+  }
+}
