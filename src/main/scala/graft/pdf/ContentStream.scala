@@ -7,8 +7,9 @@ import scala.collection.mutable.ArrayBuffer
   * `BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ', "` and emits one raw span per
   * show op: `(text, x, y)`. Graphics-state operators are consumed and
   * ignored (no CTM — scope per SURVEY §7.5.1: fixture grammar first).
-  * String bytes are decoded as Latin-1 (standard single-byte encodings;
-  * CID/Type0 out of scope for v1 — such text degrades, never throws).
+  * String bytes are decoded at show time: with the current font's
+  * [[FontDecode.FontDec]] when one is supplied (CID/Type0 + ToUnicode),
+  * Latin-1 otherwise (standard single-byte encodings).
   */
 object ContentStream {
 
@@ -19,7 +20,8 @@ object ContentStream {
     sawFontOp: Boolean,
     imageDraws: Int)
 
-  def run(content: Array[Byte]): PageOps = {
+  def run(content: Array[Byte],
+          fonts: Map[String, FontDecode.FontDec] = Map.empty): PageOps = {
     val spans = new ArrayBuffer[RawSpan]
     var sawFont = false
     var images = 0
@@ -28,6 +30,7 @@ object ContentStream {
     var lineX = 0.0; var lineY = 0.0      // start of current line
     var leading = 0.0
     var fontSize = 0.0
+    var curDec: FontDecode.FontDec = null // null = Latin-1 single-byte path
 
     val operands = new ArrayBuffer[Operand]
 
@@ -40,10 +43,24 @@ object ContentStream {
       } else 0.0
     }
 
+    def nameOperand(i: Int): String = {
+      val idx = operands.length - 1 - i
+      if (idx >= 0 && idx < operands.length) operands(idx) match {
+        case OName(s) => s
+        case _ => null
+      } else null
+    }
+
+    def decode(b: Array[Byte]): String =
+      if (curDec != null) curDec.decode(b)
+      else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+
     def newline(): Unit = { lineY -= leading }
 
     def showLast(): Unit = operands.lastOption match {
-      case Some(OStr(s)) => if (s.nonEmpty) spans += RawSpan(s, lineX, lineY)
+      case Some(OStr(b)) =>
+        val s = decode(b)
+        if (s.nonEmpty) spans += RawSpan(s, lineX, lineY)
       case _ =>
     }
 
@@ -56,7 +73,10 @@ object ContentStream {
           op match {
             case "BT" => lineX = 0.0; lineY = 0.0
             case "ET" =>
-            case "Tf" => sawFont = true; fontSize = num(0); if (leading == 0.0) () // leading stays explicit
+            case "Tf" =>
+              sawFont = true; fontSize = num(0)
+              val fn = nameOperand(1)
+              curDec = if (fn != null) fonts.getOrElse(fn, null) else curDec
             case "TL" => leading = num(0)
             case "Td" => lineX += num(1); lineY += num(0)
             case "TD" => leading = -num(0); lineX += num(1); lineY += num(0)
@@ -68,7 +88,7 @@ object ContentStream {
             case "TJ" => operands.lastOption match {
               case Some(OArr(items)) =>
                 val sb = new java.lang.StringBuilder
-                items.foreach { case OStr(s) => sb.append(s); case _ => }
+                items.foreach { case OStr(b) => sb.append(decode(b)); case _ => }
                 if (sb.length > 0) spans += RawSpan(sb.toString, lineX, lineY)
               case _ =>
             }
@@ -86,13 +106,16 @@ object ContentStream {
   sealed trait Token
   sealed trait Operand extends Token
   final case class ONum(v: Double) extends Operand
-  final case class OStr(s: String) extends Operand
+  final case class OStr(bytes: Array[Byte]) extends Operand
   final case class OName(s: String) extends Operand
   final case class OArr(items: Vector[Operand]) extends Operand
   final case class OOp(op: String) extends Token
 
-  /** Content-stream lexer; reuses the object-layer string/number grammar. */
-  private final class Lexer(bytes: Array[Byte]) {
+  /** Content-stream lexer; reuses the object-layer string/number grammar.
+    * Package-visible: [[FontDecode.parseToUnicode]] reuses it for the
+    * PostScript-ish CMap grammar (hex strings, arrays, bare operators).
+    */
+  private[pdf] final class Lexer(bytes: Array[Byte]) {
     private var pos = 0
     private val n = bytes.length
 
@@ -113,10 +136,10 @@ object ContentStream {
       }
       if (pos >= n) return null
       (bytes(pos) & 0xFF) match {
-        case '(' => OStr(latin1(parseLiteral()))
+        case '(' => OStr(parseLiteral())
         case '<' =>
           if (pos + 1 < n && bytes(pos + 1) == '<') { skipDict(); next() }
-          else OStr(latin1(parseHex()))
+          else OStr(parseHex())
         case '[' =>
           pos += 1
           val items = Vector.newBuilder[Operand]
@@ -147,9 +170,6 @@ object ContentStream {
           else OOp(new String(bytes, s, pos - s, java.nio.charset.StandardCharsets.US_ASCII))
       }
     }
-
-    private def latin1(b: Array[Byte]): String =
-      new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
 
     private def parseLiteral(): Array[Byte] = {
       val p = new PdfObjects.Parser(bytes, pos)

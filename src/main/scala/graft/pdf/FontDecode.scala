@@ -1,0 +1,177 @@
+package graft.pdf
+
+import PdfObjects._
+
+/** CID/Type0 font text decoding via /ToUnicode CMaps (PDF 1.7 §9.10.3).
+  *
+  * The reference never decodes composite fonts (its extractors shell out to
+  * Tesseract/pdfplumber); this closes the rebuild's own v1 deferral
+  * (SURVEY.md §7.5.1 "no CID/Type0 in v1"). Scope: per-page /Resources /Font
+  * lookup, ToUnicode CMap `codespacerange`/`bfchar`/`bfrange` sections,
+  * UTF-16BE destination strings. Fonts with neither /ToUnicode nor
+  * /Subtype /Type0 keep the existing single-byte Latin-1 path, so all
+  * previously-golden output is byte-identical.
+  *
+  * Degrade ladder (frozen, deterministic): mapped code → CMap string;
+  * unmapped non-zero code that is a valid BMP scalar → that code point
+  * (Identity-H convention); other unmapped non-zero codes → U+FFFD;
+  * code 0 → dropped (padding); trailing partial code → Latin-1 bytes.
+  */
+object FontDecode {
+
+  /** Decoder for one font: fixed code width + code→text map. */
+  final case class FontDec(codeLen: Int, toUni: Map[Int, String]) {
+    def decode(bytes: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      val n = bytes.length
+      while (i < n) {
+        if (i + codeLen <= n) {
+          var code = 0
+          var k = 0
+          while (k < codeLen) { code = (code << 8) | (bytes(i + k) & 0xFF); k += 1 }
+          toUni.get(code) match {
+            case Some(s) => sb.append(s)
+            case None =>
+              if (code >= 0x20 && code <= 0xFFFD && !(code >= 0xD800 && code <= 0xDFFF))
+                sb.append(code.toChar)
+              else if (code != 0) sb.append('\uFFFD')
+          }
+          i += codeLen
+        } else {
+          sb.append((bytes(i) & 0xFF).toChar)
+          i += 1
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** Build the font-name → decoder map for one page. Only fonts that need
+    * non-default decoding get an entry; absence = Latin-1 single-byte path.
+    */
+  def fontsFor(page: PDict, objs: Objects): Map[String, FontDec] = {
+    val fontDict = for {
+      res <- objs.dict(page.m.getOrElse("Resources", PNull))
+      fd <- objs.dict(res.m.getOrElse("Font", PNull))
+    } yield fd
+    fontDict match {
+      case None => Map.empty
+      case Some(fd) =>
+        fd.m.flatMap { case (fname, fref) =>
+          objs.dict(fref).flatMap { f =>
+            val subtype = objs.name(f.m.getOrElse("Subtype", PNull))
+            val parsed = objs.resolve(f.m.getOrElse("ToUnicode", PNull)) match {
+              case s: PStream =>
+                decodeStream(s, objs).toOption.flatMap(parseToUnicode)
+              case _ => None
+            }
+            parsed match {
+              case Some((len, m)) =>
+                val cl =
+                  if (len >= 1 && len <= 4) len
+                  else if (subtype.contains("Type0")) 2
+                  else 1
+                Some(fname -> FontDec(cl, m))
+              case None if subtype.contains("Type0") =>
+                Some(fname -> FontDec(2, Map.empty)) // Identity degrade
+              case None => None
+            }
+          }
+        }
+    }
+  }
+
+  /** Parse a decoded ToUnicode CMap stream → (code byte width, code→text).
+    * Tolerant: unknown PostScript operators are skipped; a CMap with no
+    * usable sections yields None.
+    */
+  def parseToUnicode(bytes: Array[Byte]): Option[(Int, Map[Int, String])] = {
+    import ContentStream._
+    val lexer = new Lexer(bytes)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Operand]
+    val map = scala.collection.mutable.Map.empty[Int, String]
+    var codeLen = 0
+    var sawSection = false
+
+    def codeOf(s: OStr): Int = {
+      var v = 0
+      val b = s.bytes
+      var i = 0
+      val n = math.min(b.length, 4)
+      while (i < n) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+      v
+    }
+    def utf16(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    def bumped(base: Array[Byte], inc: Int): Array[Byte] = {
+      // bfrange destination increment: add to the string's final byte,
+      // carrying defensively (spec constrains ranges to one byte's span)
+      val out = base.clone()
+      var carry = inc
+      var i = out.length - 1
+      while (carry > 0 && i >= 0) {
+        val v = (out(i) & 0xFF) + carry
+        out(i) = (v & 0xFF).toByte
+        carry = v >> 8
+        i -= 1
+      }
+      out
+    }
+
+    var tok = lexer.next()
+    while (tok != null) {
+      tok match {
+        case o: Operand => pending += o
+        case OOp(op) =>
+          op match {
+            case "endcodespacerange" =>
+              pending.collectFirst { case s: OStr if s.bytes.nonEmpty => s.bytes.length }
+                .foreach { l => codeLen = l; sawSection = true }
+            case "endbfchar" =>
+              var i = 0
+              while (i + 1 < pending.length) {
+                (pending(i), pending(i + 1)) match {
+                  case (src: OStr, dst: OStr) =>
+                    map(codeOf(src)) = utf16(dst.bytes)
+                    sawSection = true
+                  case _ =>
+                }
+                i += 2
+              }
+            case "endbfrange" =>
+              var i = 0
+              while (i + 2 < pending.length) {
+                (pending(i), pending(i + 1), pending(i + 2)) match {
+                  case (lo: OStr, hi: OStr, dst) =>
+                    val l = codeOf(lo); val h = codeOf(hi)
+                    if (h >= l && h - l <= 65535) {
+                      dst match {
+                        case d: OStr =>
+                          var c = l
+                          while (c <= h) { map(c) = utf16(bumped(d.bytes, c - l)); c += 1 }
+                          sawSection = true
+                        case OArr(items) =>
+                          var c = l
+                          items.foreach {
+                            case d: OStr if c <= h => map(c) = utf16(d.bytes); c += 1
+                            case _ =>
+                          }
+                          sawSection = true
+                        case _ =>
+                      }
+                    }
+                  case _ =>
+                }
+                i += 3
+              }
+            case _ => // any other operator ends its operand run
+          }
+          pending.clear()
+      }
+      tok = lexer.next()
+    }
+    if (!sawSection) None
+    else Some((if (codeLen >= 1) codeLen else 2, map.toMap))
+  }
+}

@@ -90,6 +90,55 @@ object MiniPdf {
     ops.mkString("\n")
   }
 
+  /** Single page under a /Type0 composite font with a /ToUnicode CMap.
+    * `shows` are (hexCodes, x, y) triples — e.g. ("00010002", 72, 700) shows
+    * the two 2-byte codes 1 and 2. `cmapBody` is the section payload between
+    * `begincmap`/`endcmap` (codespacerange/bfchar/bfrange lines).
+    * Object layout: 1 catalog, 2 pages, 3 font, 4 page, 5 content, 6 cmap.
+    */
+  def buildType0(shows: Seq[(String, Int, Int)], cmapBody: String,
+                 padTo: Int = 1024): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-Identity-H " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    val content = shows.map { case (hex, x, y) =>
+      s"BT /F1 12 Tf $x $y Td <$hex> Tj ET"
+    }.mkString("\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    val cmap =
+      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+      "/CMapName /Synthetic-UCS def\n/CMapType 2 def\n" +
+      cmapBody +
+      "\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    w(s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+    w("trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    if (out.size() < padTo) {
+      w("%")
+      while (out.size() < padTo - 1) out.write('x')
+      w("\n")
+    }
+    out.toByteArray
+  }
+
+  /** Content stream laying out a rows×cols grid of cell texts at fixed
+    * column x positions (table-detection fixtures).
+    */
+  def gridStream(rows: Seq[Seq[String]], colXs: Seq[Int],
+                 topY: Int = 700, lineStep: Int = 20): String = {
+    rows.zipWithIndex.flatMap { case (cells, r) =>
+      cells.zip(colXs).collect { case (cell, x) if cell.nonEmpty =>
+        s"BT /F1 12 Tf $x ${topY - r * lineStep} Td (${escape(cell)}) Tj ET"
+      }
+    }.mkString("\n")
+  }
+
   def escape(s: String): String =
     s.flatMap {
       case '(' => "\\("

@@ -1,6 +1,6 @@
 package graft.pdf
 
-import graft.model.SpanRow
+import graft.model.{SpanRow, TableRow}
 import PdfObjects._
 
 /** PDF text-extraction facade (SURVEY.md E8/S5/C1-C2).
@@ -15,9 +15,10 @@ import PdfObjects._
   * (the PDF path has no meaningful "decoded source" string to offset into).
   *
   * Classification = the reference's rule classifier thresholds
-  * (pdf_analyzer.py:96-122): scanned / image_heavy / native_text / mixed
-  * (table_heavy unreachable in v1 — no PDF table detection, the reference's
-  * own extractor is a stub too, table_simple.py:16-29).
+  * (pdf_analyzer.py:96-122): scanned / table_heavy / image_heavy /
+  * native_text / mixed. Tables come from span-geometry grid detection
+  * ([[TableGrid]]); composite-font text from /ToUnicode CMaps
+  * ([[FontDecode]]).
   *
   * Confidence (E12): 100 × pages-with-spans / pages.
   */
@@ -26,6 +27,7 @@ object PdfExtractor {
   final case class PdfDoc(
     text: String,
     spans: Vector[SpanRow],
+    tables: Vector[TableRow],
     pageCount: Int,
     confidence: Double,
     docType: String,
@@ -47,7 +49,7 @@ object PdfExtractor {
         case Right(b) => b
         case Left(err) => if (filterError == null) filterError = err; Array.empty[Byte]
       }
-      val ops = ContentStream.run(contents)
+      val ops = ContentStream.run(contents, FontDecode.fontsFor(page, objs))
       if (ops.sawFontOp) sawFont = true
       images += ops.imageDraws
       if (resourcesHaveFont(page, objs)) sawFont = true
@@ -69,23 +71,27 @@ object PdfExtractor {
       allSpans ++= pt.spans
     }
     val text = sb.toString
+    val tables: Vector[TableRow] =
+      pageResults.flatMap { case (_, raw) => TableGrid.detect(raw) }.toVector
 
     val pageCount = pages.length
     val pagesWithText = pageResults.count(_._2.nonEmpty)
     val extractableRatio = pagesWithText.toDouble / pageCount
     val avgTextPerPage = text.length.toDouble / pageCount
     val imgRatio = images.toDouble / pageCount
+    val tableRatio = tables.length.toDouble / pageCount
 
-    // pdf_analyzer.py:96-122 thresholds
+    // pdf_analyzer.py:96-122 thresholds (incl. table_heavy at ratio > 0.8)
     val docType =
       if (!sawFont && extractableRatio < 0.3 && imgRatio > 0.5) "scanned"
+      else if (tableRatio > 0.8) "table_heavy"
       else if (imgRatio > 1.5) "image_heavy"
       else if (sawFont && extractableRatio > 0.8 && avgTextPerPage > 100) "native_text"
       else if (!sawFont && pagesWithText == 0) "scanned"
       else "mixed"
 
     val confidence = 100.0 * pagesWithText / pageCount
-    Right(PdfDoc(text, allSpans.result(), pageCount, confidence, docType, docInfo(objs)))
+    Right(PdfDoc(text, allSpans.result(), tables, pageCount, confidence, docType, docInfo(objs)))
   }
 
   /** Document metadata from the /Info dictionary (S5: the reference's

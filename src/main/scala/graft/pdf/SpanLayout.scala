@@ -23,8 +23,12 @@ object SpanLayout {
 
   final case class PageText(text: String, spans: Vector[SpanRow])
 
-  def layoutPage(pageIdx: Int, raw: Vector[RawSpan], charBase: Int): PageText = {
-    if (raw.isEmpty) return PageText("", Vector.empty)
+  /** Cluster raw spans into lines, top-of-page first; members keep their
+    * stream index. Shared with [[TableGrid]] so text layout and table
+    * detection see identical row structure (one frozen clustering spec).
+    */
+  private[pdf] def lineGroups(raw: Vector[RawSpan]): Vector[Vector[(RawSpan, Int)]] = {
+    if (raw.isEmpty) return Vector.empty
 
     val ys = raw.map(_.y).distinct.sorted(Ordering.Double.TotalOrdering.reverse)
     val tol = {
@@ -41,14 +45,21 @@ object SpanLayout {
       prev = y
     }
 
-    val byLine = raw.zipWithIndex
+    raw.zipWithIndex
       .groupBy { case (s, _) => lineOfY(s.y) }
       .toVector.sortBy(_._1)
+      .map(_._2)
+  }
+
+  def layoutPage(pageIdx: Int, raw: Vector[RawSpan], charBase: Int): PageText = {
+    if (raw.isEmpty) return PageText("", Vector.empty)
+
+    val byLine = lineGroups(raw)
 
     val sb = new java.lang.StringBuilder
     val spans = Vector.newBuilder[SpanRow]
     var off = charBase
-    byLine.zipWithIndex.foreach { case ((_, members), li) =>
+    byLine.zipWithIndex.foreach { case (members, li) =>
       if (li > 0) { sb.append('\n'); off += 1 }
       // stable sort by x keeps stream order for identical positions
       val sorted = members.sortBy { case (s, i) => (s.x, i) }

@@ -72,7 +72,7 @@ object Kernel {
       val doc = graft.pdf.PdfExtractor.extract(bytes)
       doc match {
         case Right(d) =>
-          Result(d.docType, d.text, d.spans, Vector.empty, d.confidence,
+          Result(d.docType, d.text, d.spans, d.tables, d.confidence,
             d.pageCount, "pdf", "processed", null, d.metadata)
         case Left(err) =>
           Result("pdf", "", Vector.empty, Vector.empty, 0.0, 0, "pdf", "error", err, Map.empty)

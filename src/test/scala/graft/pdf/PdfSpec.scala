@@ -133,4 +133,138 @@ class PdfSpec extends AnyFunSuite {
       assert(r.status == "processed" || r.status == "error")
     }
   }
+
+  // --- CID/Type0 fonts via /ToUnicode CMaps (FontDecode) ---
+
+  test("type0-bfchar: 2-byte codes map through ToUnicode") {
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0001> <0048>
+        |<0002> <006F>
+        |<0003> <006C0061>
+        |endbfchar""".stripMargin
+    val pdf = MiniPdf.buildType0(Seq(("000100020003", 72, 700)), cmap)
+    assert(text(pdf) == "Hola")
+  }
+
+  test("type0-bfrange: contiguous range with incremented destination") {
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0010> <0019> <0041>
+        |endbfrange""".stripMargin
+    val pdf = MiniPdf.buildType0(Seq(("00100011001200130014", 72, 700)), cmap)
+    assert(text(pdf) == "ABCDE")
+  }
+
+  test("type0-bfrange-array: per-code destination list") {
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0001> <0003> [<0058> <0059> <005A>]
+        |endbfrange""".stripMargin
+    val pdf = MiniPdf.buildType0(Seq(("000100020003", 72, 700)), cmap)
+    assert(text(pdf) == "XYZ")
+  }
+
+  test("type0-accents: non-ASCII UTF-16BE destinations (Spanish docs)") {
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0005> <00E9>
+        |<0006> <00F1>
+        |endbfchar""".stripMargin
+    val pdf = MiniPdf.buildType0(Seq(("00050006", 72, 700)), cmap)
+    assert(text(pdf) == "\u00e9\u00f1")
+  }
+
+  test("type0-identity-degrade: Type0 with unusable CMap decodes BMP codes") {
+    // empty cmap body -> no sections -> FontDec(2, empty) Identity fallback
+    val pdf = MiniPdf.buildType0(Seq(("00480069", 72, 700)), "")
+    assert(text(pdf) == "Hi")
+  }
+
+  test("type0-multiline: ToUnicode decoding composes with span layout") {
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0075 0070>
+        |<0002> <0064 006F 0077 006E>
+        |endbfchar""".stripMargin
+    val pdf = MiniPdf.buildType0(Seq(("0001", 72, 700), ("0002", 72, 660)), cmap)
+    assert(text(pdf) == "up\ndown")
+  }
+
+  // --- PDF table detection from span geometry (TableGrid) ---
+
+  private val gridRows = Seq(
+    Seq("name", "qty", "price"),
+    Seq("ink", "2", "9.50"),
+    Seq("pen", "10", "1.20"))
+
+  test("table-grid: aligned columns across rows become a table") {
+    val pdf = MiniPdf.build(Seq(MiniPdf.gridStream(gridRows, Seq(72, 200, 330))))
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.tables.length == 1)
+    assert(d.tables.head.data == gridRows.map(_.toVector).toVector)
+    assert(d.tables.head.confidence == 1.0)
+  }
+
+  test("table-grid: main text still contains the cells (pdfplumber semantics)") {
+    val pdf = MiniPdf.build(Seq(MiniPdf.gridStream(gridRows, Seq(72, 200, 330))))
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.text == "name qty price\nink 2 9.50\npen 10 1.20")
+  }
+
+  test("table-grid: one table per page -> table_heavy (pdf_analyzer.py:96-122)") {
+    val pdf = MiniPdf.build(Seq(MiniPdf.gridStream(gridRows, Seq(72, 200, 330))))
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.docType == "table_heavy")
+  }
+
+  test("table-grid: ragged row -> empty cell, confidence < 1") {
+    val ragged = Seq(Seq("a", "b", "c"), Seq("d", "", "f"))
+    val pdf = MiniPdf.build(Seq(MiniPdf.gridStream(ragged, Seq(72, 200, 330))))
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.tables.length == 1)
+    assert(d.tables.head.data == Vector(Vector("a", "b", "c"), Vector("d", "", "f")))
+    assert(math.abs(d.tables.head.confidence - 5.0 / 6.0) < 1e-9)
+  }
+
+  test("table-grid: prose above and below is not swallowed into the table") {
+    val stream = Seq(
+      MiniPdf.streamFor(Seq(("Informe de ventas", 72, 720))),
+      MiniPdf.gridStream(gridRows, Seq(72, 200, 330), topY = 700),
+      MiniPdf.streamFor(Seq(("fin del informe", 72, 640)))).mkString("\n")
+    val d = PdfExtractor.extract(MiniPdf.build(Seq(stream))).toOption.get
+    assert(d.tables.length == 1)
+    assert(d.tables.head.data.length == 3)
+    assert(d.text.startsWith("Informe de ventas\n"))
+    assert(d.text.endsWith("\nfin del informe"))
+  }
+
+  test("table-grid: single-column prose never detects a table") {
+    val pdf = MiniPdf.singlePage(Seq(("uno", 72, 700), ("dos", 72, 680), ("tres", 72, 660)))
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.tables.isEmpty)
+    assert(d.docType != "table_heavy")
+  }
+
+  test("table-grid: tables flow through the kernel row") {
+    val pdf = MiniPdf.build(Seq(MiniPdf.gridStream(gridRows, Seq(72, 200, 330))))
+    val r = Kernel.extractOne(pdf)
+    assert(r.status == "processed")
+    assert(r.tables.length == 1 && r.tables.head.data.length == 3)
+  }
 }

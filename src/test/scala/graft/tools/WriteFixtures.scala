@@ -18,6 +18,23 @@ object WriteFixtures {
     Files.write(dir.resolve("scanned.pdf"), scanned)
     val bad = "%PDF-1.7\ngarbage".getBytes("ISO-8859-1") ++ Array.fill[Byte](1200)('x')
     Files.write(dir.resolve("broken.pdf"), bad)
+    val type0 = MiniPdf.buildType0(
+      Seq(("000100020003", 72, 700)),
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0001> <0048006F><0002> <006C0061>
+        |<0003> <0020006D0075006E0064006F>
+        |endbfchar""".stripMargin)
+    Files.write(dir.resolve("type0-tounicode.pdf"), type0)
+    val grid = MiniPdf.build(Seq(
+      MiniPdf.streamFor(Seq(("Informe de ventas", 72, 720))) + "\n" +
+      MiniPdf.gridStream(Seq(
+        Seq("producto", "cantidad", "precio"),
+        Seq("tinta", "2", "9.50"),
+        Seq("pluma", "10", "1.20")), Seq(72, 220, 360), topY = 700)))
+    Files.write(dir.resolve("grid-table.pdf"), grid)
     println(s"wrote fixtures to $dir")
   }
 }
