@@ -119,6 +119,48 @@ object SparkEntry {
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
+    // star join: fact shuffles once for the agg, both dims broadcast
+    "q09_nation_revenue" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+    // dim-enriched rollup (broadcast dim + decimal-exact money sum)
+    "q10_segment_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+    }),
+    // running aggregate window (explicit ROWS frame; decimal-exact)
+    "q11_user_running_value" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("double").as("running_value"))
+    }),
+    // share-of-total via unpartitioned window over a grouped rollup
+    "q12_part_type_share" -> ((s, dir) => {
+      part(s, dir).groupBy("p_type").agg(count(lit(1)).as("cnt"))
+        .select(col("p_type"), col("cnt"),
+          round(col("cnt") / sum("cnt").over(Window.partitionBy()), 6).as("share"))
+    }),
+    // top-k per group (row_number with deterministic tiebreak)
+    "q13_top_customers_per_nation" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          row_number().over(w).as("rk"))
+        .where(col("rk") <= 2)
+    }),
+
     // ---- training-data pipeline ops (text analysis / dedup / similarity /
     //      multimodal) ----
     "t01_token_stats" -> ((s, dir) => {
@@ -273,9 +315,40 @@ object SparkEntry {
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q09_nation_revenue" ->
+      """SELECT n_name, count(*) AS cnt,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q10_segment_orders" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q11_user_running_value" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+    "q12_part_type_share" ->
+      """SELECT p_type, cnt, round(cnt / sum(cnt) OVER (), 6) AS share
+        |FROM (SELECT p_type, count(*) AS cnt FROM part GROUP BY p_type)""".stripMargin,
+    "q13_top_customers_per_nation" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, rk FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t WHERE rk <= 2""".stripMargin,
   )
 
   private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def supplier(s: SparkSession, dir: String) = s.read.parquet(s"$dir/supplier.parquet")
+  private def nation(s: SparkSession, dir: String) = s.read.parquet(s"$dir/nation.parquet")
+  private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
+  private def part(s: SparkSession, dir: String) = s.read.parquet(s"$dir/part.parquet")
   private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
   private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
   private def documents(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
