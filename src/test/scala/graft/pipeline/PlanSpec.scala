@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.QueryExecution
+import graft.TestSpark
+
+/** Physical-plan hygiene assertions (SURVEY.md §4: what must hold at 100 TB).
+  * These guard the plans, not the results: a regression that silently turns
+  * a broadcast join into a sort-merge join or widens a parquet scan passes
+  * every value-level oracle and only shows up as a cluster bill.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def physical(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString
+  }
+
+  test("q08/q09/q10: dimension joins broadcast, never sort-merge") {
+    Seq("q08_priority_revenue", "q09_nation_revenue", "q10_segment_orders").foreach { q =>
+      val plan = physical(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q fell back to sort-merge:\n$plan")
+    }
+  }
+
+  test("q09: star join shuffles the fact table exactly once (for the agg)") {
+    val plan = physical("q09_nation_revenue")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("q01: parquet scan prunes to the referenced columns only") {
+    val plan = physical("q01_pricing_rollup")
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"),
+      s"expected pruned scan columns in: $read")
+    assert(!read.contains("l_shipdate") && !read.contains("l_partkey"),
+      s"scan reads unreferenced columns: $read")
+  }
+
+  test("q03: filter pushed down to the parquet scan") {
+    val plan = physical("q03_click_users")
+    val pushed = "PushedFilters: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("event_type"), s"filter not pushed: $pushed\n$plan")
+  }
+
+  test("q01/q07: partial (map-side) aggregation before the shuffle") {
+    Seq("q01_pricing_rollup", "q07_lang_stats").foreach { q =>
+      val plan = physical(q)
+      val firstAgg = plan.indexOf("HashAggregate")
+      val firstEx = plan.indexOf("Exchange")
+      assert(firstAgg >= 0 && firstEx >= 0, s"$q plan missing agg/exchange:\n$plan")
+      // toString prints top-down: final agg, exchange, then partial agg below
+      assert(plan.indexOf("HashAggregate", firstEx) >= 0,
+        s"$q has no partial aggregate under the exchange:\n$plan")
+    }
+  }
+
+  test("x01: extraction adds no shuffle beyond the generator's input spread") {
+    val pages = graft.io.SyntheticPages.fromDocuments(spark, sf)
+    val plan = Extract.runNarrow(pages).toDF()
+      .select("url", "doc_id", "status").queryExecution.executedPlan.toString
+    // SyntheticPages round-robins the single-row-group parquet input once,
+    // BEFORE the generative flatMap; extraction itself must stay narrow.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"extraction gained a hash shuffle:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected only the generator spread, got $exchanges:\n$plan")
+  }
+
+  test("whole-stage codegen spans cover the oracle rollups") {
+    val df = graft.SparkEntry.queries("q01_pricing_rollup")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n) Operator" in the condensed plan string
+    assert(plan.contains("*(1)") && plan.contains("HashAggregate"),
+      s"codegen disabled:\n$plan")
+  }
+}
