@@ -38,7 +38,10 @@ object GraftFunctions {
     StructField("charset", StringType),
     StructField("status", StringType),
     StructField("error", StringType),
-    StructField("title", StringType)))
+    StructField("title", StringType),
+    StructField("tables", ArrayType(StructType(Seq(
+      StructField("data", ArrayType(ArrayType(StringType))),
+      StructField("confidence", DoubleType)))))))
 
   case class GraftExtract(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -64,7 +67,13 @@ object GraftFunctions {
         UTF8String.fromString(r.charset),
         UTF8String.fromString(r.status),
         if (r.error == null) null else UTF8String.fromString(r.error),
-        UTF8String.fromString(r.metadata.getOrElse("title", "")))
+        UTF8String.fromString(r.metadata.getOrElse("title", "")),
+        new GenericArrayData(r.tables.map { t =>
+          InternalRow(
+            new GenericArrayData(t.data.map(row =>
+              new GenericArrayData(row.map(UTF8String.fromString).toArray[Any])).toArray[Any]),
+            t.confidence)
+        }.toArray[Any]))
     }
 
     override protected def withNewChildInternal(newChild: Expression): GraftExtract =

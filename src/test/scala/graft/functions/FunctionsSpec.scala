@@ -83,4 +83,18 @@ class FunctionsSpec extends AnyFunSuite {
       Seq(org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](1, 2, 3))))
     assert(expr.isInstanceOf[GraftFunctions.GraftExtract])
   }
+
+  test("graft_extract exposes tables: explode PDF grid cells in SQL (E9)") {
+    val grid = graft.pdf.MiniPdf.build(Seq(graft.pdf.MiniPdf.gridStream(Seq(
+      Seq("h1", "h2"), Seq("a", "b"), Seq("c", "d")), Seq(72, 200))))
+    Seq(("u4", grid)).toDF("url", "html").createOrReplaceTempView("pages_grid_v")
+    val rows = spark.sql(
+      """SELECT t.confidence, r AS cells
+        |FROM (SELECT explode(graft_extract(html).tables) AS t FROM pages_grid_v)
+        |LATERAL VIEW explode(t.data) AS r""".stripMargin).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getSeq[String](1)).toSeq ==
+      Seq(Seq("h1", "h2"), Seq("a", "b"), Seq("c", "d")))
+    assert(rows.forall(_.getDouble(0) == 1.0))
+  }
 }
