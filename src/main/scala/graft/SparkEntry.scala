@@ -65,6 +65,16 @@ object SparkEntry {
       graft.render.Summary.storageStats(Extract.runNarrow(pages).toDF())
         .orderBy("doc_type")
     }),
+    // E9 rollup: extracted-table stats per doc type (HTML <table> + PDF grid)
+    "x06_table_stats" -> ((s, dir) => {
+      val pages = SyntheticPages.fromDocuments(s, dir)
+      Extract.runNarrow(pages).toDF()
+        .groupBy("doc_type")
+        .agg(count(lit(1)).as("docs"),
+          sum(size(col("tables"))).as("n_tables"),
+          sum(when(size(col("tables")) > 0, 1L).otherwise(0L)).as("docs_with_tables"))
+        .orderBy("doc_type")
+    }),
 
     // ---- catalog / aggregation operators with DuckDB oracles ----
     // A1/A2 rollup (true mean replaces the reference's pairwise mean,
@@ -208,6 +218,15 @@ object SparkEntry {
         .select("id_a", "id_b")
       graft.ops.Dedup.ngramJaccard(cand, docs, "doc_id", "text")
         .where(col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+    }),
+    "d05_dup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val sigs = graft.ops.Dedup.signatures(docs, "doc_id", "text")
+      val pairs = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.5)
+        .select("id_a", "id_b")
+      graft.ops.Dedup.clusters(pairs)
+        .groupBy("cluster").agg(count(lit(1)).as("members"))
+        .orderBy("cluster")
     }),
     "s01_cosine_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)

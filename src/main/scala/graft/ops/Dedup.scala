@@ -240,4 +240,54 @@ object Dedup {
     val inter = a.intersect(b).size
     inter.toDouble / (a.size + b.size - inter)
   }
+
+  // --- cluster assignment ------------------------------------------------
+
+  /** Duplicate-cluster assignment: connected components over verified
+    * candidate pairs, so each near-dup group gets one canonical id (the
+    * minimum member id) and a pipeline can `keep only id == cluster`.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts labeled
+    * with itself; each round takes the min of its own and its neighbors'
+    * labels; fixpoint in O(component diameter) rounds. Near-dup components
+    * are small and dense (every member pairs with most others), so
+    * diameters are tiny; `maxIter` is a safety bound, not a tuning knob.
+    *
+    * Scale shape: each round is one shuffle (edge⋈label groupBy) at EDGE
+    * cardinality — pairs, not corpus. Lineage is truncated every round
+    * (`localCheckpoint`), otherwise the iterated plan grows exponentially
+    * and the driver, not the data, becomes the bottleneck. The convergence
+    * check rides the same action that materializes the checkpoint.
+    *
+    * Returns (id, cluster) for every id that appears in `pairs`; singleton
+    * docs never enter a pair, so callers union them back with
+    * cluster = id if a total assignment is needed.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint() // truncate lineage; also materializes for the count
+      changed = next.where(col("label") < col("old")).count()
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
 }

@@ -101,4 +101,32 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
     assert(s1.sameElements(s8))
   }
+
+  test("clusters: min-label propagation crosses multi-hop chains") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: labels must propagate
+    // beyond one hop (1 reaches 4 in 3 hops)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: end-to-end with minhash candidates on planted groups") {
+    val base = randomDoc(60)
+    val other = randomDoc(60)
+    val docs = Seq(
+      (1L, base), (2L, mutate(base, 0.05)), (3L, mutate(base, 0.08)),
+      (10L, other), (11L, other),
+      (20L, randomDoc(60))).toDF("doc_id", "text")
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    val pairs = Dedup.minhashCandidates(sigs, minEstJaccard = 0.5).select("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.getOrElse(2L, -1L) == 1L && cl.getOrElse(3L, -1L) == 1L)
+    assert(cl.getOrElse(11L, -1L) == 10L)
+    assert(!cl.contains(20L)) // singleton never enters a pair
+    // canonical-keep filter: one survivor per cluster
+    val survivors = Set(1L, 10L, 20L)
+    val kept = docs.select("doc_id").as[Long].collect().toSet
+      .filter(id => cl.getOrElse(id, id) == id)
+    assert(kept == survivors)
+  }
 }

@@ -85,4 +85,26 @@ class PipelineSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("grid + Type0 PDFs flow through the Spark pipeline (E9/E8 at table level)") {
+    import spark.implicits._
+    import graft.pdf.MiniPdf
+    val grid = MiniPdf.build(Seq(MiniPdf.gridStream(Seq(
+      Seq("col1", "col2"), Seq("v1", "v2"), Seq("v3", "v4")), Seq(72, 220))))
+    val type0 = MiniPdf.buildType0(Seq(("00480069", 72, 700)), "") // Identity "Hi"
+    val pages = Seq(
+      graft.model.Page("http://t.example/grid", new java.sql.Timestamp(0L), grid,
+        "col1 col2\nv1 v2\nv3 v4", "es"),
+      graft.model.Page("http://t.example/type0", new java.sql.Timestamp(0L), type0,
+        "Hi", "es")).toDF()
+    val out = graft.pipeline.Extract.runNarrow(pages).collect()
+      .map(d => d.url -> d).toMap
+    val g = out("http://t.example/grid")
+    assert(g.status == "processed" && g.doc_type == "table_heavy")
+    assert(g.tables.length == 1 && g.tables.head.data ==
+      Seq(Seq("col1", "col2"), Seq("v1", "v2"), Seq("v3", "v4")))
+    assert(g.text == "col1 col2\nv1 v2\nv3 v4")
+    val t = out("http://t.example/type0")
+    assert(t.status == "processed" && t.text == "Hi")
+  }
 }
