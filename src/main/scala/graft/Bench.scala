@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * replica-amplified pages corpus. Prints ONE JSON line.
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4),
-  * SPARK_GRAFT_REPLICAS (default 8 — ~40k pages at sf0.1).
+  * SPARK_GRAFT_REPLICAS (default scales with cpus: 2×cpus, floor 8 —
+  * enough work per core that the headline measures the kernel, not
+  * job-scheduling overhead; ScalingBench methodology, BENCH/BASELINE.md).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "8").toInt
+    val replicas = sys.env.get("SPARK_GRAFT_REPLICAS").map(_.toInt)
+      .getOrElse(math.max(8, 2 * cpus.toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,6 +31,8 @@ object Bench {
     val pages = io.SyntheticPages.fromDocuments(spark, sfDir, replicas).cache()
     val docs = pages.count() // materialize cache: payload generation not timed
     val bytes = pages.agg(sum(length(col("html")))).collect()(0).getLong(0)
+    // untimed JIT warm-up of the kernel (BENCH/BASELINE.md methodology)
+    pipeline.Extract.runNarrow(pages.limit(2000)).toDF().count()
     val t0 = System.nanoTime()
     val outRows = pipeline.Extract
       .run(pages, model.PipelineConf(shufflePartitions = cpus.toInt * 2))
