@@ -42,13 +42,37 @@ object SyntheticPages {
 
   def isPdfDoc(docId: Long): Boolean = docId % 10 == 9
 
+  /** ~2%: image-only PDF (no fonts, no text ops) → docType `scanned`,
+    * golden text "" (the reference's scanned class, pdf_analyzer.py:101-105).
+    */
+  def isScannedDoc(docId: Long): Boolean = docId % 50 == 17
+
+  /** ~2%: valid `%PDF-` magic over undecodable garbage → status `error`
+    * with empty text (the reference's error lifecycle, files.py:245-253);
+    * ≥1024 bytes so it clears the validity floor and reaches the parser.
+    */
+  def isBrokenDoc(docId: Long): Boolean = docId % 50 == 41
+
   private val accentWord = Map(
     "es" -> "información", "de" -> "übrigens", "fr" -> "déjà",
     "en" -> "naïve", "zh" -> "中文测试")
 
   def pageFor(docId: Long, docText: String, lang: String): Spec = {
     val words0 = docText.trim.split("\\s+").toVector.filter(_.nonEmpty)
-    if (isPdfDoc(docId)) {
+    if (isScannedDoc(docId)) {
+      Spec(urlOf(docId), Epoch + docId * 1000L,
+        MiniPdf.build(Seq("q 612 0 0 792 0 0 cm /Im0 Do Q"), withFont = false),
+        "", lang)
+    } else if (isBrokenDoc(docId)) {
+      val junk = new java.lang.StringBuilder("%PDF-1.7\n")
+      var x = docId
+      while (junk.length < 1400) { // hex digits + spaces can never form "N G obj"
+        x = graft.ops.Dedup.splitmix64(x)
+        junk.append(java.lang.Long.toHexString(x)).append(' ')
+      }
+      Spec(urlOf(docId), Epoch + docId * 1000L,
+        junk.toString.getBytes(StandardCharsets.ISO_8859_1), "", lang)
+    } else if (isPdfDoc(docId)) {
       // PDF v1 string scope is Latin-1 (SURVEY §7.5.1) — CJK can't round-trip
       val safe = if (lang == "zh") "zhongwen-ceshi" else accentWord.getOrElse(lang, "extra")
       pdfPage(docId, words0 :+ safe, lang)

@@ -34,13 +34,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(mismatches.count() == 0)
 
     import org.apache.spark.sql.functions._
+    // corpus mix is deterministic: doc ids 0..499, 2% broken (status=error,
+    // empty golden), 2% scanned (processed, empty golden), rest processed
+    val ids = (0L until total)
+    val nBroken = ids.count(SyntheticPages.isBrokenDoc)
+    val nScanned = ids.count(SyntheticPages.isScannedDoc)
     val st = extracted.groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(st.getOrElse("processed", 0L) == total, s"statuses: $st")
-    // ~10% PDFs routed
+    assert(st.getOrElse("processed", 0L) == total - nBroken, s"statuses: $st")
+    assert(st.getOrElse("error", 0L) == nBroken, s"statuses: $st")
     val types = extracted.groupBy("doc_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(types.filterKeys(k => k != "html").values.sum == 50L, s"types: $types")
+    assert(types.getOrElse("scanned", 0L) == nScanned, s"types: $types")
+    // PDFs routed: the %10 slot plus the scanned/broken carve-outs
+    assert(types.filterKeys(k => k != "html").values.sum ==
+      ids.count(i => SyntheticPages.isPdfDoc(i) || SyntheticPages.isScannedDoc(i) ||
+        SyntheticPages.isBrokenDoc(i)).toLong, s"types: $types")
     pages.unpersist(); extracted.unpersist()
   }
 
