@@ -161,6 +161,13 @@ object SparkEntry {
         .select(col("p_type"), col("cnt"),
           round(col("cnt") / sum("cnt").over(Window.partitionBy()), 6).as("share"))
     }),
+    // time-bucketed rollup (string-stable month key; decimal-exact money)
+    "q14_monthly_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("month"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+    }),
     // top-k per group (row_number with deterministic tiebreak)
     "q13_top_customers_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy("c_nationkey")
@@ -355,6 +362,11 @@ object SparkEntry {
     "q12_part_type_share" ->
       """SELECT p_type, cnt, round(cnt / sum(cnt) OVER (), 6) AS share
         |FROM (SELECT p_type, count(*) AS cnt FROM part GROUP BY p_type)""".stripMargin,
+    "q14_monthly_orders" ->
+      """SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+        | count(*) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
     "q13_top_customers_per_nation" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, rk FROM (
         |  SELECT c_custkey, c_nationkey, c_acctbal,
