@@ -127,6 +127,43 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Single page whose catalog/pages/page dicts live inside a compressed
+    * PDF 1.5 object stream (`/Type /ObjStm`, obj 6); only the content
+    * stream (obj 5) and the container are direct objects — the shape a
+    * body scan cannot read without ObjStm expansion.
+    */
+  def buildObjStm(content: String, padTo: Int = 1024): Array[Byte] = {
+    val members = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      4 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+            "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"))
+    val bodies = members.map(_._2)
+    val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = members.map(_._1).zip(offsets)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = (header + bodies.mkString("\n") + "\n").getBytes(ISO_8859_1)
+    val first = header.length
+    val packed = deflate(payload)
+
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Type /ObjStm /N ${members.length} /First $first " +
+      s"/Filter /FlateDecode /Length ${packed.length} >>\nstream\n")
+    out.write(packed)
+    w("\nendstream\nendobj\n")
+    w("%%EOF\n")
+    if (out.size() < padTo) {
+      w("%")
+      while (out.size() < padTo - 1) out.write('x')
+      w("\n")
+    }
+    out.toByteArray
+  }
+
   /** Content stream laying out a rows×cols grid of cell texts at fixed
     * column x positions (table-detection fixtures).
     */

@@ -55,8 +55,58 @@ object PdfObjects {
     b == '{' || b == '}' || b == '/' || b == '%'
   @inline private def isRegular(b: Int): Boolean = !isWs(b) && !isDelim(b)
 
-  /** Parse all indirect objects in the file by scanning for `N G obj`. */
+  /** Parse all indirect objects in the file by scanning for `N G obj`,
+    * then expand PDF 1.5 object streams (`/Type /ObjStm`) — compressed
+    * containers whose member objects (catalog/page/font dicts; never
+    * streams) are invisible to a body scan until the container is inflated.
+    */
   def parseAll(bytes: Array[Byte]): Objects = {
+    val out = scanObjects(bytes)
+    val base = new Objects(out.toMap)
+    out.values.toVector.foreach {
+      case s: PStream if base.name(s.dict.m.getOrElse("Type", PNull)).contains("ObjStm") =>
+        expandObjStm(s, base).foreach { case (num, v) =>
+          if (!out.contains(num)) out(num) = v // direct objects win
+        }
+      case _ =>
+    }
+    new Objects(out.toMap)
+  }
+
+  /** Member objects of one object stream: header is N (objnum, offset)
+    * integer pairs, bodies start at /First. Malformed entries are skipped,
+    * never thrown.
+    */
+  private def expandObjStm(s: PStream, objs: Objects): Vector[(Int, PVal)] = {
+    val out = Vector.newBuilder[(Int, PVal)]
+    decodeStream(s, objs) match {
+      case Right(data) =>
+        val n = objs.num(s.dict.m.getOrElse("N", PNull)).map(_.toInt).getOrElse(0)
+        val first = objs.num(s.dict.m.getOrElse("First", PNull)).map(_.toInt).getOrElse(-1)
+        if (n > 0 && n <= 100000 && first >= 0 && first <= data.length) {
+          val hp = new Parser(data, 0)
+          var k = 0
+          var ok = true
+          while (k < n && ok) {
+            (hp.parseValue(), hp.parseValue()) match {
+              case (PNum(objNum), PNum(off)) if objNum >= 0 && off >= 0 &&
+                  first + off.toInt < data.length =>
+                try {
+                  val p = new Parser(data, first + off.toInt)
+                  out += (objNum.toInt -> p.parseValue())
+                } catch { case _: Exception => /* skip malformed member */ }
+              case _ => ok = false
+            }
+            k += 1
+          }
+        }
+      case Left(_) => // undecodable container: members stay missing
+    }
+    out.result()
+  }
+
+  /** One pass over the raw bytes collecting `N G obj` bodies. */
+  private def scanObjects(bytes: Array[Byte]): mutable.Map[Int, PVal] = {
     val out = mutable.Map.empty[Int, PVal]
     val n = bytes.length
     var i = 0
@@ -89,7 +139,7 @@ object PdfObjects {
       }
       i += 1
     }
-    new Objects(out.toMap)
+    out
   }
 
   private def parseIntAscii(b: Array[Byte], s: Int, e: Int): Int = {

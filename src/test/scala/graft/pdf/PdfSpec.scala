@@ -267,4 +267,28 @@ class PdfSpec extends AnyFunSuite {
     assert(r.status == "processed")
     assert(r.tables.length == 1 && r.tables.head.data.length == 3)
   }
+
+  // --- PDF 1.5 object streams (ObjStm expansion) ---
+
+  test("objstm: page tree inside a compressed object stream is found") {
+    val pdf = MiniPdf.buildObjStm("BT /F1 12 Tf 100 700 Td (Dentro del ObjStm) Tj ET")
+    assert(text(pdf) == "Dentro del ObjStm")
+  }
+
+  test("objstm: classification and fonts work for ObjStm-packed dicts") {
+    val pdf = MiniPdf.buildObjStm(
+      "BT /F1 12 Tf 72 700 Td (" + ("palabra " * 20).trim + ") Tj ET")
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.pageCount == 1)
+    assert(d.confidence == 100.0)
+    assert(d.docType == "native_text")
+  }
+
+  test("objstm: truncated container degrades to error, never throws") {
+    val base = MiniPdf.buildObjStm("BT /F1 12 Tf 100 700 Td (x) Tj ET")
+    (Seq(100, 400, 700) :+ (base.length - 40)).foreach { cut =>
+      val r = Kernel.extractOne(base.take(cut) ++ Array.fill[Byte](1100)('%'))
+      assert(r.status == "processed" || r.status == "error")
+    }
+  }
 }

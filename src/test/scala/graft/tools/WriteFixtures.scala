@@ -35,6 +35,9 @@ object WriteFixtures {
         Seq("tinta", "2", "9.50"),
         Seq("pluma", "10", "1.20")), Seq(72, 220, 360), topY = 700)))
     Files.write(dir.resolve("grid-table.pdf"), grid)
+    val objstm = MiniPdf.buildObjStm(
+      "BT /F1 12 Tf 72 700 Td (Cuerpo dentro de un object stream comprimido) Tj ET")
+    Files.write(dir.resolve("objstm.pdf"), objstm)
     println(s"wrote fixtures to $dir")
   }
 }
