@@ -378,9 +378,68 @@ object PdfObjects {
     }
     filters.foldLeft[Either[String, Array[Byte]]](Right(data)) {
       case (Right(d), "FlateDecode") => inflate(d)
+      case (Right(d), "ASCIIHexDecode") => asciiHexDecode(d)
+      case (Right(d), "ASCII85Decode") => ascii85Decode(d)
       case (Right(_), other) => Left(s"unsupported_filter:$other")
       case (l, _) => l
     }
+  }
+
+  /** PDF 1.7 §7.4.2: hex pairs, whitespace ignored, `>` is EOD, odd final
+    * digit pads with 0.
+    */
+  def asciiHexDecode(data: Array[Byte]): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val b = data(i) & 0xFF
+      if (b == '>') done = true
+      else if (!isWs(b)) {
+        val d = Character.digit(b, 16)
+        if (d < 0) return Left("asciihex_bad_digit")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Right(out.toByteArray)
+  }
+
+  /** PDF 1.7 §7.4.3: base-85 groups of 5 chars → 4 bytes, `z` = four zero
+    * bytes, `~>` is EOD, partial final group keeps n-1 bytes.
+    */
+  def ascii85Decode(data: Array[Byte]): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var k = 0
+    var i = 0
+    var done = false
+    def flush(n: Int): Unit = {
+      // pad missing chars with 'u' (84), emit n-1 bytes
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < n) group(j) else 84); j += 1 }
+      val bs = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      out.write(bs, 0, n - 1)
+    }
+    while (i < data.length && !done) {
+      val b = data(i) & 0xFF
+      if (b == '~') done = true
+      else if (b == 'z' && k == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (!isWs(b)) {
+        if (b < '!' || b > 'u') return Left("ascii85_bad_char")
+        group(k) = b - '!'
+        k += 1
+        if (k == 5) { flush(5); k = 0 }
+      }
+      i += 1
+    }
+    if (k == 1) return Left("ascii85_truncated_group")
+    if (k > 1) flush(k)
+    Right(out.toByteArray)
   }
 
   def inflate(data: Array[Byte]): Either[String, Array[Byte]] = {

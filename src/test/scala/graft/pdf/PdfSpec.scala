@@ -291,4 +291,82 @@ class PdfSpec extends AnyFunSuite {
       assert(r.status == "processed" || r.status == "error")
     }
   }
+
+  test("contents-array: multiple content streams per page concatenate") {
+    // hand-build: page /Contents [5 0 R 6 0 R]
+    val c1 = "BT /F1 12 Tf 72 700 Td (parte uno) Tj ET"
+    val c2 = "BT /F1 12 Tf 72 680 Td (parte dos) Tj ET"
+    val sb = new StringBuilder
+    sb.append("%PDF-1.7\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    sb.append("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents [ 5 0 R 6 0 R ] >>\nendobj\n")
+    sb.append(s"5 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n")
+    sb.append(s"6 0 obj\n<< /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n")
+    sb.append("%%EOF\n")
+    while (sb.length < 1024) sb.append('%')
+    assert(text(sb.toString.getBytes(ISO_8859_1)) == "parte uno\nparte dos")
+  }
+
+  // --- stream filters beyond Flate ---
+
+  private def onePageWithStream(streamBody: Array[Byte], filter: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${streamBody.length} /Filter /$filter >>\nstream\n")
+    out.write(streamBody)
+    w("\nendstream\nendobj\n%%EOF\n")
+    while (out.size() < 1024) out.write('%')
+    out.toByteArray
+  }
+
+  test("asciihex filter: hex-encoded content stream decodes") {
+    val content = "BT /F1 12 Tf 72 700 Td (hex ok) Tj ET"
+    val hex = content.getBytes(ISO_8859_1).map(b => f"$b%02X").mkString(" ") + ">"
+    assert(text(onePageWithStream(hex.getBytes(ISO_8859_1), "ASCIIHexDecode")) == "hex ok")
+  }
+
+  test("ascii85 filter: base-85 content stream decodes (z-group + partial tail)") {
+    val content = "BT /F1 12 Tf 72 700 Td (a85 ok) Tj ET"
+    val enc = encode85(content.getBytes(ISO_8859_1)) + "~>"
+    assert(text(onePageWithStream(enc.getBytes(ISO_8859_1), "ASCII85Decode")) == "a85 ok")
+    // round-trip property incl. zero runs and ragged tails
+    val rnd = new scala.util.Random(3)
+    (1 to 100).foreach { _ =>
+      val n = rnd.nextInt(40)
+      val bs = Array.fill[Byte](n)(if (rnd.nextInt(4) == 0) 0 else rnd.nextInt(256).toByte)
+      val dec = PdfObjects.ascii85Decode((encode85(bs) + "~>").getBytes(ISO_8859_1))
+      assert(dec.toOption.exists(_.sameElements(bs)))
+    }
+  }
+
+  private def encode85(bs: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bs.length) {
+      val n = math.min(4, bs.length - i)
+      var v = 0L
+      (0 until 4).foreach { j =>
+        v = (v << 8) | (if (j < n) bs(i + j) & 0xFF else 0)
+      }
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var k = 4
+        var x = v
+        while (k >= 0) { cs(k) = ('!' + (x % 85).toInt).toChar; x /= 85; k -= 1 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += n
+    }
+    sb.toString
+  }
 }
