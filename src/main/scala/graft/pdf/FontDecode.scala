@@ -75,12 +75,93 @@ object FontDecode {
                 Some(fname -> FontDec(cl, m))
               case None if subtype.contains("Type0") =>
                 Some(fname -> FontDec(2, Map.empty)) // Identity degrade
-              case None => None
+              case None =>
+                // simple font: /Encoding /Differences remaps single bytes
+                differencesMap(f, objs) match {
+                  case m if m.nonEmpty => Some(fname -> FontDec(1, m))
+                  case _ => None // default Latin-1 path
+                }
             }
           }
         }
     }
   }
+
+  /** Simple-font /Encoding << /Differences [ code /name ... ] >> →
+    * byte-code → text map (PDF 1.7 §9.6.6.1). Codes the array does not
+    * remap keep the default Latin-1 path via the decoder's identity
+    * fallback. Glyph names resolve through a Latin/AGL subset plus the
+    * `uniXXXX`/`uXXXX` systematic forms; unknown names are skipped
+    * (those bytes fall back to identity).
+    */
+  def differencesMap(font: PDict, objs: Objects): Map[Int, String] = {
+    val diffs = for {
+      enc <- objs.dict(font.m.getOrElse("Encoding", PNull))
+      arr <- objs.arr(enc.m.getOrElse("Differences", PNull))
+    } yield arr
+    diffs match {
+      case None => Map.empty
+      case Some(items) =>
+        val out = Map.newBuilder[Int, String]
+        var code = -1
+        items.foreach {
+          case PNum(v) => code = v.toInt
+          case PName(g) if code >= 0 && code <= 255 =>
+            glyphToText(g).foreach(t => out += (code -> t))
+            code += 1
+          case _ =>
+        }
+        out.result()
+    }
+  }
+
+  /** Latin-focused AGL subset + systematic uniXXXX/uXXXX names. */
+  def glyphToText(name: String): Option[String] = {
+    if ((name.startsWith("uni") && name.length >= 7) ||
+        (name.startsWith("u") && name.length >= 5 && name.length <= 7)) {
+      val hex = if (name.startsWith("uni")) name.substring(3, 7) else name.substring(1)
+      try {
+        val cp = Integer.parseInt(hex, 16)
+        if (cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+          return Some(new String(Character.toChars(cp)))
+      } catch { case _: NumberFormatException => }
+      return None
+    }
+    Agl.get(name)
+  }
+
+  private val Agl: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "underscore" -> "_",
+    "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+    "exclamdown" -> "¡", "questiondown" -> "¿", "cent" -> "¢", "sterling" -> "£",
+    "Euro" -> "€", "degree" -> "°", "ordfeminine" -> "ª", "ordmasculine" -> "º",
+    "guillemotleft" -> "«", "guillemotright" -> "»", "copyright" -> "©",
+    "registered" -> "®", "trademark" -> "™", "section" -> "§", "paragraph" -> "¶",
+    "middot" -> "·", "periodcentered" -> "·", "bullet" -> "•",
+    "endash" -> "–", "emdash" -> "—", "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”", "ellipsis" -> "…",
+    "aacute" -> "á", "agrave" -> "à", "acircumflex" -> "â", "adieresis" -> "ä",
+    "atilde" -> "ã", "aring" -> "å", "ae" -> "æ", "ccedilla" -> "ç",
+    "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê", "edieresis" -> "ë",
+    "iacute" -> "í", "igrave" -> "ì", "icircumflex" -> "î", "idieresis" -> "ï",
+    "ntilde" -> "ñ", "oacute" -> "ó", "ograve" -> "ò", "ocircumflex" -> "ô",
+    "odieresis" -> "ö", "otilde" -> "õ", "oslash" -> "ø", "uacute" -> "ú",
+    "ugrave" -> "ù", "ucircumflex" -> "û", "udieresis" -> "ü", "yacute" -> "ý",
+    "ydieresis" -> "ÿ", "thorn" -> "þ", "eth" -> "ð", "germandbls" -> "ß",
+    "Aacute" -> "Á", "Agrave" -> "À", "Acircumflex" -> "Â", "Adieresis" -> "Ä",
+    "Atilde" -> "Ã", "Aring" -> "Å", "AE" -> "Æ", "Ccedilla" -> "Ç",
+    "Eacute" -> "É", "Egrave" -> "È", "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+    "Iacute" -> "Í", "Igrave" -> "Ì", "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+    "Ntilde" -> "Ñ", "Oacute" -> "Ó", "Ograve" -> "Ò", "Ocircumflex" -> "Ô",
+    "Odieresis" -> "Ö", "Otilde" -> "Õ", "Oslash" -> "Ø", "Uacute" -> "Ú",
+    "Ugrave" -> "Ù", "Ucircumflex" -> "Û", "Udieresis" -> "Ü", "Yacute" -> "Ý",
+    "Thorn" -> "Þ", "Eth" -> "Ð")
 
   /** Parse a decoded ToUnicode CMap stream → (code byte width, code→text).
     * Tolerant: unknown PostScript operators are skipped; a CMap with no

@@ -369,4 +369,29 @@ class PdfSpec extends AnyFunSuite {
     }
     sb.toString
   }
+
+  test("differences-encoding: simple font remaps bytes via glyph names") {
+    // byte 0xE9 -> /ntilde, 0x40 -> /eacute, 0x23 -> /uni20AC; others identity
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+    val content = "BT /F1 12 Tf 72 700 Td (pi\\351a @ #5) Tj ET" // \351 = 0xE9
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Type /Encoding /Differences [ 35 /uni20AC 64 /eacute 233 /ntilde ] >> >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
+    while (out.size() < 1024) out.write('%')
+    assert(text(out.toByteArray) == "pi\u00f1a \u00e9 \u20ac5")
+  }
+
+  test("differences-encoding: consecutive names advance the code") {
+    import PdfObjects._
+    val font = PDict(Map("Encoding" -> PDict(Map("Differences" ->
+      PArr(Vector(PNum(65), PName("aacute"), PName("eacute"), PNum(200), PName("Ntilde")))))))
+    val m = FontDecode.differencesMap(font, new Objects(Map.empty))
+    assert(m == Map(65 -> "\u00e1", 66 -> "\u00e9", 200 -> "\u00d1"))
+  }
 }
