@@ -394,4 +394,21 @@ class PdfSpec extends AnyFunSuite {
     val m = FontDecode.differencesMap(font, new Objects(Map.empty))
     assert(m == Map(65 -> "\u00e1", 66 -> "\u00e9", 200 -> "\u00d1"))
   }
+
+  test("tounicode: 1-byte codespacerange drives single-byte decode") {
+    val cmap = ("1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+      "1 beginbfchar\n<41> <0431>\nendbfchar").getBytes(ISO_8859_1)
+    val Some((len, m)) = FontDecode.parseToUnicode(cmap)
+    assert(len == 1 && m == Map(0x41 -> "\u0431"))
+    val dec = FontDecode.FontDec(len, m)
+    assert(dec.decode("ABC".getBytes(ISO_8859_1)) == "\u0431BC") // B,C identity
+  }
+
+  test("glyphToText: AGL names, uniXXXX/uXXXX forms, unknowns skipped") {
+    assert(FontDecode.glyphToText("ntilde").contains("\u00f1"))
+    assert(FontDecode.glyphToText("uni20AC").contains("\u20ac"))
+    assert(FontDecode.glyphToText("u1F600").contains(new String(Character.toChars(0x1F600))))
+    assert(FontDecode.glyphToText("g123").isEmpty)
+    assert(FontDecode.glyphToText("uniZZZZ").isEmpty)
+  }
 }
