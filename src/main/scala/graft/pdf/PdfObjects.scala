@@ -376,13 +376,69 @@ object PdfObjects {
       val l = len.toInt
       if (l >= 0 && l <= s.raw.length) data = java.util.Arrays.copyOfRange(s.raw, 0, l)
     }
+    // /DecodeParms: dict or filter-parallel array; only EarlyChange is read
+    // (predictors are an xref-stream concern, not content streams)
+    val earlyChange: Int = {
+      val parms = objs.resolve(s.dict.m.getOrElse("DecodeParms",
+        s.dict.m.getOrElse("DP", PNull))) match {
+        case d: PDict => Some(d)
+        case PArr(items) => items.flatMap(i => objs.dict(i)).headOption
+        case _ => None
+      }
+      parms.flatMap(d => objs.num(d.m.getOrElse("EarlyChange", PNull)))
+        .map(_.toInt).getOrElse(1)
+    }
     filters.foldLeft[Either[String, Array[Byte]]](Right(data)) {
       case (Right(d), "FlateDecode") => inflate(d)
       case (Right(d), "ASCIIHexDecode") => asciiHexDecode(d)
       case (Right(d), "ASCII85Decode") => ascii85Decode(d)
+      case (Right(d), "LZWDecode") => lzwDecode(d, earlyChange)
       case (Right(_), other) => Left(s"unsupported_filter:$other")
       case (l, _) => l
     }
+  }
+
+  /** PDF 1.7 §7.4.4 LZW: MSB-first variable-width codes 9→12 bits,
+    * 256 = clear table, 257 = EOD; with EarlyChange (default 1) the code
+    * width grows one code early. No predictor support (xref-stream
+    * concern); missing EOD just ends at input exhaustion.
+    */
+  def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val dict = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+    var dictSize = 258
+    var width = 9
+    var buf = 0L
+    var bits = 0
+    var prev: Array[Byte] = null
+    var pos = 0
+    val n = data.length
+    while (pos < n || bits >= width) {
+      if (bits < width) {
+        buf = (buf << 8) | (data(pos) & 0xFF); bits += 8; pos += 1
+      } else {
+        val code = ((buf >>> (bits - width)) & ((1 << width) - 1)).toInt
+        bits -= width
+        if (code == 256) {
+          dictSize = 258; width = 9; prev = null
+          java.util.Arrays.fill(dict.asInstanceOf[Array[AnyRef]], 258, 4096, null)
+        } else if (code == 257) {
+          return Right(out.toByteArray)
+        } else {
+          val entry: Array[Byte] =
+            if (code < 4096 && dict(code) != null) dict(code)
+            else if (code == dictSize && prev != null) prev :+ prev(0)
+            else return Left("lzw_bad_code")
+          out.write(entry, 0, entry.length)
+          if (prev != null && dictSize < 4096) { dict(dictSize) = prev :+ entry(0); dictSize += 1 }
+          if (dictSize + earlyChange >= (1 << width) && width < 12) width += 1
+          prev = entry
+        }
+      }
+    }
+    Right(out.toByteArray)
   }
 
   /** PDF 1.7 §7.4.2: hex pairs, whitespace ignored, `>` is EOD, odd final

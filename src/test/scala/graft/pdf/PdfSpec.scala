@@ -411,4 +411,68 @@ class PdfSpec extends AnyFunSuite {
     assert(FontDecode.glyphToText("g123").isEmpty)
     assert(FontDecode.glyphToText("uniZZZZ").isEmpty)
   }
+
+  test("lzw filter: spec-shaped 9-bit code stream decodes") {
+    // codes for input 45x5 65 45x3 66: clear, literals and table refs
+    val codes = Seq(256, 45, 258, 258, 65, 259, 66, 257)
+    val packed = packCodes(codes.map(c => (c, 9)))
+    val got = PdfObjects.lzwDecode(packed).toOption.get
+    val want = Array.fill[Byte](5)(45) ++ Array[Byte](65) ++
+      Array.fill[Byte](3)(45) ++ Array[Byte](66)
+    assert(got.sameElements(want))
+  }
+
+  test("lzw filter: encoder round-trip incl. width growth past 511 entries") {
+    val rnd = new scala.util.Random(9)
+    (1 to 30).foreach { _ =>
+      // long enough to force dict past 511 -> 10-bit codes
+      val n = 200 + rnd.nextInt(3000)
+      val bs = Array.fill[Byte](n)((rnd.nextInt(8) + 'a').toByte)
+      val enc = lzwEncode(bs, 1)
+      val dec = PdfObjects.lzwDecode(enc, 1)
+      assert(dec.toOption.exists(_.sameElements(bs)), s"round-trip failed at n=$n")
+    }
+  }
+
+  test("lzw filter: end-to-end content stream") {
+    val content = "BT /F1 12 Tf 72 700 Td (lzw ok) Tj ET"
+    val enc = lzwEncode(content.getBytes(ISO_8859_1), 1)
+    assert(text(onePageWithStream(enc, "LZWDecode")) == "lzw ok")
+  }
+
+  private def packCodes(codes: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var buf = 0L; var bits = 0
+    codes.foreach { case (c, w) =>
+      buf = (buf << w) | c; bits += w
+      while (bits >= 8) { out.write(((buf >>> (bits - 8)) & 0xFF).toInt); bits -= 8 }
+    }
+    if (bits > 0) out.write(((buf << (8 - bits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** Minimal PDF LZW encoder mirroring the decoder's width rule. */
+  private def lzwEncode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val dict = scala.collection.mutable.Map.empty[Seq[Byte], Int]
+    (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+    var next = 258; var width = 9
+    val codes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    codes += ((256, width))
+    var cur = Seq.empty[Byte]
+    data.foreach { b =>
+      val ext = cur :+ b
+      if (dict.contains(ext)) cur = ext
+      else {
+        codes += ((dict(cur), width))
+        if (next < 4096) {
+          dict(ext) = next; next += 1
+          if (next + earlyChange > (1 << width) && width < 12) width += 1
+        }
+        cur = Seq(b)
+      }
+    }
+    if (cur.nonEmpty) codes += ((dict(cur), width))
+    codes += ((257, width))
+    packCodes(codes.toSeq)
+  }
 }
