@@ -65,6 +65,20 @@ object SparkEntry {
       graft.render.Summary.storageStats(Extract.runNarrow(pages).toDF())
         .orderBy("doc_type")
     }),
+    // L3+L4: catalog filter by type substring + min confidence, with
+    // availability flags (routers/system.py:339-343; documents.py:411-427)
+    "x07_catalog_filters" -> ((s, dir) => {
+      val pages = SyntheticPages.fromDocuments(s, dir)
+      val ext = graft.render.Summary.withAvailabilityFlags(
+        Extract.runNarrow(pages).toDF())
+      graft.render.Summary.filterByTypeAndConfidence(ext, "native", 50.0)
+        .groupBy("doc_type")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("has_text"), 1L).otherwise(0L)).as("with_text"),
+          sum(when(col("has_tables"), 1L).otherwise(0L)).as("with_tables"),
+          sum(when(col("is_empty"), 1L).otherwise(0L)).as("empty_docs"))
+        .orderBy("doc_type")
+    }),
     // E9 rollup: extracted-table stats per doc type (HTML <table> + PDF grid)
     "x06_table_stats" -> ((s, dir) => {
       val pages = SyntheticPages.fromDocuments(s, dir)
