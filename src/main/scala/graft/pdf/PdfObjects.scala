@@ -376,26 +376,78 @@ object PdfObjects {
       val l = len.toInt
       if (l >= 0 && l <= s.raw.length) data = java.util.Arrays.copyOfRange(s.raw, 0, l)
     }
-    // /DecodeParms: dict or filter-parallel array; only EarlyChange is read
-    // (predictors are an xref-stream concern, not content streams)
-    val earlyChange: Int = {
-      val parms = objs.resolve(s.dict.m.getOrElse("DecodeParms",
-        s.dict.m.getOrElse("DP", PNull))) match {
-        case d: PDict => Some(d)
-        case PArr(items) => items.flatMap(i => objs.dict(i)).headOption
-        case _ => None
-      }
-      parms.flatMap(d => objs.num(d.m.getOrElse("EarlyChange", PNull)))
-        .map(_.toInt).getOrElse(1)
+    // /DecodeParms: dict or filter-parallel array; EarlyChange for LZW,
+    // PNG predictors (10-15) for Flate/LZW outputs
+    val parms: Option[PDict] = objs.resolve(s.dict.m.getOrElse("DecodeParms",
+      s.dict.m.getOrElse("DP", PNull))) match {
+      case d: PDict => Some(d)
+      case PArr(items) => items.flatMap(i => objs.dict(i)).headOption
+      case _ => None
     }
+    def parm(key: String, dflt: Int): Int =
+      parms.flatMap(d => objs.num(d.m.getOrElse(key, PNull))).map(_.toInt).getOrElse(dflt)
+    val earlyChange = parm("EarlyChange", 1)
+    val predictor = parm("Predictor", 1)
+    def depredict(d: Array[Byte]): Either[String, Array[Byte]] =
+      if (predictor >= 10)
+        pngDepredict(d, parm("Columns", 1), parm("Colors", 1), parm("BitsPerComponent", 8))
+      else Right(d) // predictor 1 = none; 2 (TIFF) unseen in content streams
     filters.foldLeft[Either[String, Array[Byte]]](Right(data)) {
-      case (Right(d), "FlateDecode") => inflate(d)
+      case (Right(d), "FlateDecode") => inflate(d).flatMap(depredict)
       case (Right(d), "ASCIIHexDecode") => asciiHexDecode(d)
       case (Right(d), "ASCII85Decode") => ascii85Decode(d)
-      case (Right(d), "LZWDecode") => lzwDecode(d, earlyChange)
+      case (Right(d), "LZWDecode") => lzwDecode(d, earlyChange).flatMap(depredict)
       case (Right(_), other) => Left(s"unsupported_filter:$other")
       case (l, _) => l
     }
+  }
+
+  /** Undo PNG row filters (predictors 10-15, PDF 1.7 §7.4.4.4 / RFC 2083):
+    * each row is one filter-type byte (0 none, 1 sub, 2 up, 3 average,
+    * 4 paeth) followed by `columns × colors × bpc / 8` bytes. A ragged
+    * final row is processed to its actual length.
+    */
+  def pngDepredict(data: Array[Byte], columns: Int, colors: Int,
+                   bpc: Int): Either[String, Array[Byte]] = {
+    val rowLen = math.max(1, columns * colors * bpc / 8)
+    val bpp = math.max(1, colors * bpc / 8) // bytes per pixel (left distance)
+    if (data.isEmpty) return Right(data)
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val prior = new Array[Byte](rowLen) // zero row above the first
+    val cur = new Array[Byte](rowLen)
+    var pos = 0
+    while (pos < data.length) {
+      val ft = data(pos) & 0xFF
+      pos += 1
+      val len = math.min(rowLen, data.length - pos)
+      if (len <= 0) return Right(out.toByteArray)
+      java.util.Arrays.fill(cur, 0.toByte)
+      System.arraycopy(data, pos, cur, 0, len)
+      pos += len
+      var i = 0
+      while (i < len) {
+        val left = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+        val up = prior(i) & 0xFF
+        val upLeft = if (i >= bpp) prior(i - bpp) & 0xFF else 0
+        val raw = cur(i) & 0xFF
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) / 2)
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => return Left(s"png_bad_filter:$ft")
+        }
+        cur(i) = (v & 0xFF).toByte
+        i += 1
+      }
+      out.write(cur, 0, len)
+      System.arraycopy(cur, 0, prior, 0, rowLen)
+    }
+    Right(out.toByteArray)
   }
 
   /** PDF 1.7 §7.4.4 LZW: MSB-first variable-width codes 9→12 bits,

@@ -475,4 +475,76 @@ class PdfSpec extends AnyFunSuite {
     codes += ((257, width))
     packCodes(codes.toSeq)
   }
+
+  test("png predictor: sub/up/average/paeth rows round-trip") {
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { _ =>
+      val cols = 1 + rnd.nextInt(24)
+      val rows = 1 + rnd.nextInt(12)
+      val plain = Array.fill[Byte](cols * rows)(rnd.nextInt(256).toByte)
+      // encode: pick a filter per row, emit filter byte + filtered bytes
+      val enc = new java.io.ByteArrayOutputStream()
+      val prior = new Array[Byte](cols)
+      (0 until rows).foreach { r =>
+        val row = plain.slice(r * cols, (r + 1) * cols)
+        val ft = rnd.nextInt(5)
+        enc.write(ft)
+        (0 until cols).foreach { i =>
+          val left = if (i >= 1) row(i - 1) & 0xFF else 0
+          val up = prior(i) & 0xFF
+          val upLeft = if (i >= 1) prior(i - 1) & 0xFF else 0
+          val x = row(i) & 0xFF
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - upLeft
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+          }
+          enc.write((x - pred) & 0xFF)
+        }
+        System.arraycopy(row, 0, prior, 0, cols)
+      }
+      val dec = PdfObjects.pngDepredict(enc.toByteArray, cols, 1, 8)
+      assert(dec.toOption.exists(_.sameElements(plain)), s"cols=$cols rows=$rows")
+    }
+  }
+
+  test("png predictor: end-to-end flate+predictor content stream") {
+    val content = "BT /F1 12 Tf 72 700 Td (predicted ok) Tj ET"
+    val bytes = content.getBytes(ISO_8859_1)
+    val cols = 10
+    // encode with filter type 2 (up) rows
+    val enc = new java.io.ByteArrayOutputStream()
+    val prior = new Array[Byte](cols)
+    var i = 0
+    while (i < bytes.length) {
+      val len = math.min(cols, bytes.length - i)
+      enc.write(2)
+      (0 until len).foreach { j =>
+        enc.write(((bytes(i + j) & 0xFF) - (prior(j) & 0xFF)) & 0xFF)
+      }
+      java.util.Arrays.fill(prior, 0.toByte)
+      System.arraycopy(bytes, i, prior, 0, len)
+      i += len
+    }
+    val packed = MiniPdf.deflate(enc.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${packed.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> >>\nstream\n")
+    out.write(packed)
+    w("\nendstream\nendobj\n%%EOF\n")
+    while (out.size() < 1024) out.write('%')
+    assert(text(out.toByteArray) == "predicted ok")
+  }
 }
