@@ -93,7 +93,11 @@ object ContentStream {
               case _ =>
             }
             case "Do" => images += 1 // XObject draw; counted as potential image
-            case "BI" => images += 1 // inline image
+            case "BI" => // inline image: skip params + binary body to EI —
+              // raw image bytes must never be tokenized (a stray '(' would
+              // otherwise fabricate a text span)
+              images += 1
+              lexer.skipInlineImage()
             case _ => // ignore any other operator
           }
           operands.clear()
@@ -189,6 +193,24 @@ object ContentStream {
       val p = new PdfObjects.Parser(bytes, pos)
       p.parseDict()
       pos = p.pos
+    }
+
+    /** After a BI operator: skip the parameter dict to `ID`, then the raw
+      * binary body to a whitespace-preceded `EI` token (PDF 1.7 §8.9.7).
+      */
+    def skipInlineImage(): Unit = {
+      // params end at the ID operator
+      while (pos + 1 < n && !(bytes(pos) == 'I' && bytes(pos + 1) == 'D' &&
+             (pos + 2 >= n || isWs(bytes(pos + 2) & 0xFF)))) pos += 1
+      if (pos + 1 < n) pos += 2
+      if (pos < n && isWs(bytes(pos) & 0xFF)) pos += 1 // single ws before data
+      // binary body ends at ws-delimited EI
+      while (pos + 1 < n && !(bytes(pos) == 'E' && bytes(pos + 1) == 'I' &&
+             (pos == 0 || isWs(bytes(pos - 1) & 0xFF)) &&
+             (pos + 2 >= n || isWs(bytes(pos + 2) & 0xFF) || isDelim(bytes(pos + 2) & 0xFF)))) {
+        pos += 1
+      }
+      pos = if (pos + 1 < n) pos + 2 else n
     }
   }
 }

@@ -547,4 +547,19 @@ class PdfSpec extends AnyFunSuite {
     while (out.size() < 1024) out.write('%')
     assert(text(out.toByteArray) == "predicted ok")
   }
+
+  test("inline image: binary body with stray '(' and ops never fabricates text") {
+    // BI params ID <binary containing ( and Tj and EI-without-ws> EI, then real text
+    val body = Array[Byte]('(', 'f', 'a', 'k', 'e', ')', ' ', 'T', 'j', ' ',
+      0x00, 0x28, 'x', 'E', 'I', 'x', 0xFF.toByte, ' ')
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+    w("BT /F1 12 Tf 72 700 Td (antes) Tj ET\n")
+    w("BI /W 2 /H 2 /BPC 8 /CS /G ID ")
+    out.write(body)
+    w("EI\nBT /F1 12 Tf 72 680 Td (despues) Tj ET")
+    val content = new String(out.toByteArray, ISO_8859_1)
+    val d = PdfExtractor.extract(MiniPdf.build(Seq(content))).toOption.get
+    assert(d.text == "antes\ndespues")
+  }
 }
