@@ -27,12 +27,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // headline: end-to-end extraction throughput (BASELINE.json metric)
+    // headline: end-to-end extraction throughput (BASELINE.json metric).
+    // Both pipeline paths are timed so round-over-round regressions are
+    // attributable: `narrow` = kernel on pre-partitioned input (no shuffle),
+    // `salted` = full Extract.run (heavy-host detection + salted repartition).
     val pages = io.SyntheticPages.fromDocuments(spark, sfDir, replicas).cache()
     val docs = pages.count() // materialize cache: payload generation not timed
     val bytes = pages.agg(sum(length(col("html")))).collect()(0).getLong(0)
     // untimed JIT warm-up of the kernel (BENCH/BASELINE.md methodology)
     pipeline.Extract.runNarrow(pages.limit(2000)).toDF().count()
+    val tN = System.nanoTime()
+    val narrowRows = pipeline.Extract.runNarrow(pages).toDF().count()
+    val narrowSec = (System.nanoTime() - tN) / 1e9
     val t0 = System.nanoTime()
     val outRows = pipeline.Extract
       .run(pages, model.PipelineConf(shufflePartitions = cpus.toInt * 2))
@@ -44,18 +50,22 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => -1L }
       name -> (System.nanoTime() - t) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     def f3(d: Double) = "%.3f".format(d)
-    val total = f3(results.map(_._2).sum + extractSec)
+    val total = f3(results.map(_._2).sum + extractSec + narrowSec)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extract_docs":$docs,"extract_mb":${f3(bytes / 1048576.0)},""" +
       s""""extract_sec":${f3(extractSec)},"docs_per_sec":${f3(docsPerSec)},""" +
-      s""""mb_per_sec":${f3(mbPerSec)},"cpus":$cpus,"replicas":$replicas,""" +
+      s""""mb_per_sec":${f3(mbPerSec)},""" +
+      s""""narrow_sec":${f3(narrowSec)},"narrow_docs_per_sec":${f3(docs / narrowSec)},""" +
+      s""""narrow_mb_per_sec":${f3(bytes / 1048576.0 / narrowSec)},""" +
+      s""""narrow_rows_out":$narrowRows,"cpus":$cpus,"replicas":$replicas,""" +
       s""""golden_rows_out":$outRows}""")
     spark.stop()
   }

@@ -348,8 +348,9 @@ object SparkEntry {
         |  SELECT user_id, event_id,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+    // DuckDB types sum(BIGINT) as HUGEINT; cast to match Spark's BIGINT sum.
     "q07_lang_stats" ->
-      "SELECT lang, count(*) AS cnt, sum(n_chars) AS total_chars FROM documents GROUP BY lang",
+      "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang",
     "q08_priority_revenue" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -60,8 +60,10 @@ object Kernel {
         status = "processed",
         error = null,
         metadata = if (r.title.isEmpty) Map.empty else Map("title" -> r.title))
-    } catch { // belt-and-braces: the extractor is total by design, but a kernel must never kill a task
-      case e: Throwable =>
+    } catch { // belt-and-braces: the extractor is total by design, but a kernel must never kill a task.
+      // NonFatal only — swallowing OOM/Interrupted would turn a dying executor
+      // into silently-wrong status=error rows.
+      case scala.util.control.NonFatal(e) =>
         Result("html", "", Vector.empty, Vector.empty, 0.0, 0, "", "error",
           s"html_extract_failed: ${e.getClass.getSimpleName}", Map.empty)
     }
@@ -78,7 +80,7 @@ object Kernel {
           Result("pdf", "", Vector.empty, Vector.empty, 0.0, 0, "pdf", "error", err, Map.empty)
       }
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         Result("pdf", "", Vector.empty, Vector.empty, 0.0, 0, "pdf", "error",
           s"pdf_parse_failed: ${e.getClass.getSimpleName}", Map.empty)
     }

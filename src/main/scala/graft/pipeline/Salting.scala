@@ -20,23 +20,25 @@ object Salting {
 
   /** Hosts whose row share exceeds `shareThreshold` in a sampled scan.
     * Column-pruned: reads only `url`. Deterministic sample seed.
+    *
+    * The threshold filter runs DISTRIBUTED: the driver never sees the full
+    * distinct-host set (10^7-10^8 hosts on a real crawl), only the hosts
+    * above the share threshold — at most floor(1/shareThreshold) rows by
+    * construction, since each must hold > shareThreshold of the total.
     */
   def detectHeavyHosts(pages: DataFrame, shareThreshold: Double = 0.05,
                        sampleFraction: Double = 0.1): Seq[String] = {
     val sampled =
       if (sampleFraction >= 1.0) pages.select("url")
       else pages.select("url").sample(withReplacement = false, sampleFraction, seed = 42L)
-    val counts = sampled
+    val total = sampled.count().toDouble
+    if (total == 0) return Nil
+    sampled
       .groupBy(hostCol(col("url")).as("host"))
       .agg(count(lit(1)).as("cnt"))
-      .agg(collect_list(struct(col("host"), col("cnt"))).as("hc"), sum("cnt").as("total"))
-      .collect()
-    if (counts.isEmpty || counts(0).isNullAt(1)) return Nil
-    val total = counts(0).getLong(1).toDouble
-    counts(0).getSeq[org.apache.spark.sql.Row](0)
-      .filter(r => r.getLong(1) / total > shareThreshold)
-      .map(_.getString(0))
-      .sorted
+      .where(col("cnt") > lit(shareThreshold * total) && col("host").isNotNull)
+      .select("host")
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Salt column: heavy hosts fan out over `saltBuckets`, others stay 0. */

@@ -85,6 +85,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(maxMean(salted) < maxMean(unsalted))
   }
 
+  test("salting: heavy-host collect is bounded by 1/threshold (distributed filter)") {
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    // strict share > th means at most floor(1/th) hosts can qualify; the
+    // driver-side set must respect that bound even if EVERY host were heavy
+    val th = 0.05
+    val heavy = Salting.detectHeavyHosts(pages, shareThreshold = th, sampleFraction = 1.0)
+    assert(heavy.length <= (1.0 / th).toInt, s"unbounded collect: ${heavy.length} hosts")
+    // empty input degrades to Nil, not a crash
+    assert(Salting.detectHeavyHosts(pages.where("url IS NULL")) == Nil)
+  }
+
   test("doc_id matches Spark's own sha2(url, 256)") {
     import org.apache.spark.sql.functions._
     val pages = SyntheticPages.fromDocuments(spark, sfDir).limit(20)
