@@ -262,18 +262,38 @@ object SparkEntry {
       embeddings(s, dir).select(col("vec_id"),
         round(graft.ops.Similarity.norm(col("embedding")), 4).as("l2norm"))
     }),
+    // IVF over the PERSISTED list_id-partitioned layout: build → write →
+    // load → probe, so the driver exercises the partition-pruned scan path
+    // (the 100 TB shape), not just the in-memory index. The test corpus is
+    // uniform-random (IVF's worst case — no cluster structure), so bit-exact
+    // top-10 vs the brute-force oracle needs nprobe=12 of 16 lists (25%
+    // pruned; recall at lower nprobe is gated in SimilaritySpec).
     "s03_ivf_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).collect()(0)
         .getSeq[Double](0).toArray
       val index = graft.ops.Similarity.buildIvf(emb, "vec_id", "embedding", numLists = 16)
-      graft.ops.Similarity.ivfTopK(index, q, 10, nprobe = 4)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      graft.ops.Similarity.writeIvf(index, tmp)
+      val loaded = graft.ops.Similarity.loadIvf(s, tmp)
+      graft.ops.Similarity.ivfTopK(loaded, q, 10, nprobe = 12)
         .select(col("id"), round(col("cos"), 4).as("cos"))
     }),
+    // Embedding near-dup over embeddings ∪ perturbed copies (vec_id+100000,
+    // every element +0.001): the base corpus has NO pairs above cos 0.52, so
+    // the 500 planted ~0.999 pairs make the answer non-empty and the exact
+    // all-pairs DuckDB oracle meaningful. LSH candidates are exact-verified;
+    // the planted pairs sit far above the banding recall floor.
     "s04_cosine_near_dups" -> ((s, dir) => {
+      val base = embeddings(s, dir).select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val perturbed = base.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
       graft.ops.Similarity.cosineNearDupPairs(
-          embeddings(s, dir), "vec_id", "embedding", minCosine = 0.85)
+          base.unionAll(perturbed), "vec_id", "embedding", minCosine = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -319,6 +339,31 @@ object SparkEntry {
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2norm
         |FROM embeddings""".stripMargin,
+    // exact top-10 (query vector included, cos(q,q)=1 ranks first): IVF at
+    // nprobe=12/16 must reproduce it bit-exactly while scanning only the
+    // probed lists
+    "s03_ivf_topk" ->
+      """SELECT CAST(e.vec_id AS BIGINT) AS id,
+        | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |   / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+        |      * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))), 4) AS cos
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // exact all-pairs cosine >= 0.9 over the same augmented corpus the Spark
+    // query builds (base ∪ +0.001-perturbed copies at vec_id+100000)
+    "s04_cosine_near_dups" ->
+      """WITH c AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS BIGINT) + 100000,
+        |         list_transform(embedding::DOUBLE[], x -> x + 0.001) FROM embeddings)
+        |SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id) p
+        |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "s01_cosine_topk" ->
       """SELECT e.vec_id,
         | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])

@@ -45,23 +45,28 @@ object Similarity {
 
   final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
-  /** Deterministic coarse quantizer: every (n/C)-th vector by id is a
-    * centroid (k-means would be better; determinism and zero iterations
-    * matter more here — centroid quality only affects recall, verified in
-    * tests). Assignment = one mapPartitions pass with the centroid matrix
-    * on the closure (broadcast-sized: C × dim doubles).
+  /** Deterministic coarse quantizer: centroids are a uniform hash-ordered
+    * sample — `ORDER BY xxhash64(id), id LIMIT C` compiles to
+    * TakeOrderedAndProject (per-partition top-C, driver merge): ONE pass,
+    * no `count()` prepass, no dense-id assumption (works with sha2-derived
+    * ids). Only the C centroid vectors ever reach the driver. Assignment is
+    * one mapPartitions pass with the centroid matrix on the closure
+    * (broadcast-sized: C × dim doubles). k-means would give tighter lists;
+    * determinism and zero iterations matter more here — centroid quality
+    * only affects recall, which is gated in SimilaritySpec.
     */
   def buildIvf(emb: DataFrame, idCol: String, vecCol: String, numLists: Int): IvfIndex = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val typed = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val typed = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
 
-    // collect only the C centroid vectors, never the corpus
-    val n = typed.count()
-    val step = math.max(n / math.max(numLists, 1), 1L)
-    val centroids = typed.filter(_._1 % step == 0).collect()
-      .sortBy(_._1).take(numLists).zipWithIndex
+    val centroids = typed
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(numLists)
+      .collect()
+      .sortBy(_._1).zipWithIndex
       .map { case ((_, v), ci) => (ci, normalize(v)) }
 
     val assigned = typed.mapPartitions { it =>
@@ -70,6 +75,29 @@ object Similarity {
       }
     }.toDF("id", "vec", "list_id")
     IvfIndex(centroids, assigned)
+  }
+
+  /** Persist the index with `list_id` as the PHYSICAL partition key: a
+    * subsequent probe over the loaded index is a partition-pruned scan
+    * reading `nprobe/C` of the corpus — no shuffle, no full scan. This is
+    * the 100 TB layout; the in-memory `IvfIndex` from [[buildIvf]] is the
+    * build-side intermediate.
+    */
+  def writeIvf(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/assigned")
+    index.centroids.toSeq.toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvf(spark: SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    IvfIndex(centroids,
+      spark.read.parquet(s"$path/assigned").select("id", "vec", "list_id"))
   }
 
   /** Probe `nprobe` nearest lists; exact cosine inside them. Returns top-k. */

@@ -43,6 +43,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("persisted IVF probe is a partition-pruned scan (only nprobe lists read)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val index = Similarity.buildIvf(emb, "vec_id", "embedding", numLists = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-plan").toString
+    Similarity.writeIvf(index, tmp)
+    val loaded = Similarity.loadIvf(spark, tmp)
+
+    val nprobe = 4
+    val probe = Similarity.ivfTopK(loaded, queryVec, 10, nprobe = nprobe)
+    val fromDisk = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMem = Similarity.ivfTopK(index, queryVec, 10, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk == inMem, "persisted probe diverged from in-memory probe")
+
+    val plan = probe.queryExecution.executedPlan
+    val scans = plan.collectLeaves().collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"no file scan in:\n$plan")
+    assert(plan.toString.contains("PartitionFilters") &&
+      plan.toString.contains("list_id"), s"probe filter not on the partition key:\n$plan")
+    val partsRead = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(partsRead <= nprobe, s"probe read $partsRead partitions, expected <= $nprobe")
+  }
+
   test("cosine near-dup pairs: planted near-identical vectors found") {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Double] = Array.fill(32)(rnd.nextGaussian())
