@@ -26,12 +26,19 @@ object PdfObjects {
 
   final class Objects(val byNum: Map[Int, PVal]) {
     def resolve(v: PVal): PVal = v match {
-      case PRef(n, _) => byNum.get(n).map {
-        case r: PRef => resolve(r)
-        case x => x
-      }.getOrElse(PNull)
+      case r: PRef => resolveRef(r, Set.empty)
       case x => x
     }
+    // A malformed reference cycle (1 0 obj 2 0 R / 2 0 obj 1 0 R) must
+    // degrade to PNull, not StackOverflowError.
+    @annotation.tailrec
+    private def resolveRef(r: PRef, seen: Set[Int]): PVal =
+      if (seen(r.num)) PNull
+      else byNum.get(r.num) match {
+        case Some(next: PRef) => resolveRef(next, seen + r.num)
+        case Some(x) => x
+        case None => PNull
+      }
     def dict(v: PVal): Option[PDict] = resolve(v) match {
       case d: PDict => Some(d)
       case s: PStream => Some(s.dict)
@@ -376,40 +383,50 @@ object PdfObjects {
       val l = len.toInt
       if (l >= 0 && l <= s.raw.length) data = java.util.Arrays.copyOfRange(s.raw, 0, l)
     }
-    // /DecodeParms: dict or filter-parallel array; EarlyChange for LZW,
-    // PNG predictors (10-15) for Flate/LZW outputs
-    val parms: Option[PDict] = objs.resolve(s.dict.m.getOrElse("DecodeParms",
-      s.dict.m.getOrElse("DP", PNull))) match {
-      case d: PDict => Some(d)
-      case PArr(items) => items.flatMap(i => objs.dict(i)).headOption
-      case _ => None
-    }
-    def parm(key: String, dflt: Int): Int =
-      parms.flatMap(d => objs.num(d.m.getOrElse(key, PNull))).map(_.toInt).getOrElse(dflt)
-    val earlyChange = parm("EarlyChange", 1)
-    val predictor = parm("Predictor", 1)
-    def depredict(d: Array[Byte]): Either[String, Array[Byte]] =
-      if (predictor >= 10)
-        pngDepredict(d, parm("Columns", 1), parm("Colors", 1), parm("BitsPerComponent", 8))
-      else Right(d) // predictor 1 = none; 2 (TIFF) unseen in content streams
-    filters.foldLeft[Either[String, Array[Byte]]](Right(data)) {
-      case (Right(d), "FlateDecode") => inflate(d).flatMap(depredict)
-      case (Right(d), "ASCIIHexDecode") => asciiHexDecode(d)
-      case (Right(d), "ASCII85Decode") => ascii85Decode(d)
-      case (Right(d), "LZWDecode") => lzwDecode(d, earlyChange).flatMap(depredict)
-      case (Right(_), other) => Left(s"unsupported_filter:$other")
+    // /DecodeParms: a dict applies to a single filter; an ARRAY is
+    // filter-parallel (one entry per /Filter, entries may be null), so each
+    // fold step gets its index-matched dict — e.g. in
+    // [/ASCII85Decode /FlateDecode] only the second entry carries a
+    // Predictor. EarlyChange for LZW, PNG predictors (10-15) for Flate/LZW.
+    val parmsPerFilter: Int => Option[PDict] =
+      objs.resolve(s.dict.m.getOrElse("DecodeParms",
+        s.dict.m.getOrElse("DP", PNull))) match {
+        case d: PDict => _ => Some(d)
+        case PArr(items) => i => items.lift(i).flatMap(objs.dict)
+        case _ => _ => None
+      }
+    def parm(pd: Option[PDict], key: String, dflt: Int): Int =
+      pd.flatMap(d => objs.num(d.m.getOrElse(key, PNull))).map(_.toInt).getOrElse(dflt)
+    filters.zipWithIndex.foldLeft[Either[String, Array[Byte]]](Right(data)) {
+      case (Right(d), (f, idx)) =>
+        val pd = parmsPerFilter(idx)
+        def depredict(x: Array[Byte]): Either[String, Array[Byte]] =
+          if (parm(pd, "Predictor", 1) >= 10)
+            pngDepredict(x, parm(pd, "Columns", 1), parm(pd, "Colors", 1),
+              parm(pd, "BitsPerComponent", 8))
+          else Right(x) // predictor 1 = none; 2 (TIFF) unseen in content streams
+        f match {
+          case "FlateDecode" => inflate(d).flatMap(depredict)
+          case "ASCIIHexDecode" => asciiHexDecode(d)
+          case "ASCII85Decode" => ascii85Decode(d)
+          case "LZWDecode" => lzwDecode(d, parm(pd, "EarlyChange", 1)).flatMap(depredict)
+          case other => Left(s"unsupported_filter:$other")
+        }
       case (l, _) => l
     }
   }
 
   /** Undo PNG row filters (predictors 10-15, PDF 1.7 §7.4.4.4 / RFC 2083):
     * each row is one filter-type byte (0 none, 1 sub, 2 up, 3 average,
-    * 4 paeth) followed by `columns × colors × bpc / 8` bytes. A ragged
-    * final row is processed to its actual length.
+    * 4 paeth) followed by `ceil(columns × colors × bpc / 8)` bytes — rows
+    * are byte-aligned per RFC 2083, so bpc<8 with non-byte-aligned widths
+    * (Columns=10, bpc=1 → 2 bytes) must round UP or every subsequent row
+    * depredicts against the wrong prior bytes. A ragged final row is
+    * processed to its actual length.
     */
   def pngDepredict(data: Array[Byte], columns: Int, colors: Int,
                    bpc: Int): Either[String, Array[Byte]] = {
-    val rowLen = math.max(1, columns * colors * bpc / 8)
+    val rowLen = math.max(1, (columns * colors * bpc + 7) / 8)
     val bpp = math.max(1, colors * bpc / 8) // bytes per pixel (left distance)
     if (data.isEmpty) return Right(data)
     val out = new java.io.ByteArrayOutputStream(data.length)

@@ -50,28 +50,46 @@ object Charsets {
   }
 
   /** Scan the first 1024 bytes (treated as latin-1, charset labels are ASCII) for
-    * `charset=NAME` inside a `<meta ...>` tag. Returns a resolvable charset only.
+    * `charset=NAME` inside a `<meta ...>` tag. The scan is ANCHORED to meta
+    * tag bounds — an early `<script>var charset="utf-16"</script>`, comment,
+    * or visible text containing `charset=` must not hijack detection.
+    * Returns a resolvable charset only.
     */
   def metaCharset(bytes: Array[Byte]): Option[Charset] = {
     val n = math.min(bytes.length, SniffWindow)
     val window = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
-    val idx = window.indexOf("charset")
-    if (idx < 0) return None
-    // accept charset = "name" | 'name' | name  (terminated by quote/space/;/>/")
-    var i = idx + "charset".length
-    while (i < window.length && (window.charAt(i) == ' ' || window.charAt(i) == '\t')) i += 1
-    if (i >= window.length || window.charAt(i) != '=') return None
+    var from = 0
+    while (from < window.length) {
+      val tag = window.indexOf("<meta", from)
+      if (tag < 0) return None
+      val close = window.indexOf('>', tag)
+      val end = if (close < 0) window.length else close
+      val idx = window.indexOf("charset", tag)
+      if (idx >= 0 && idx < end) {
+        val found = parseCharsetValue(window, idx + "charset".length, end)
+        if (found.isDefined) return found
+      }
+      from = tag + "<meta".length
+    }
+    None
+  }
+
+  /** `= "name" | 'name' | name` starting at `i`, bounded by `end` (tag close). */
+  private def parseCharsetValue(window: String, start: Int, end: Int): Option[Charset] = {
+    var i = start
+    while (i < end && (window.charAt(i) == ' ' || window.charAt(i) == '\t')) i += 1
+    if (i >= end || window.charAt(i) != '=') return None
     i += 1
-    while (i < window.length && (window.charAt(i) == ' ' || window.charAt(i) == '\t')) i += 1
-    if (i >= window.length) return None
+    while (i < end && (window.charAt(i) == ' ' || window.charAt(i) == '\t')) i += 1
+    if (i >= end) return None
     val quote = window.charAt(i)
-    val (start, terms) =
+    val (valStart, terms) =
       if (quote == '"' || quote == '\'') (i + 1, Set(quote))
       else (i, Set(' ', '\t', '"', '\'', ';', '>', '/'))
-    var j = start
-    while (j < window.length && !terms.contains(window.charAt(j))) j += 1
-    val name = window.substring(start, j).trim
+    var j = valStart
+    while (j < end && !terms.contains(window.charAt(j))) j += 1
+    val name = window.substring(valStart, j).trim
     if (name.isEmpty) None
     else
       try { if (Charset.isSupported(name)) Some(Charset.forName(name)) else None }

@@ -548,6 +548,68 @@ class PdfSpec extends AnyFunSuite {
     assert(text(out.toByteArray) == "predicted ok")
   }
 
+  test("objects: reference cycles resolve to PNull, never StackOverflowError") {
+    val body = "%PDF-1.7\n1 0 obj\n2 0 R\nendobj\n2 0 obj\n1 0 R\nendobj\n" +
+      "3 0 obj\n3 0 R\nendobj\n4 0 obj\n(ok)\nendobj\n"
+    val objs = PdfObjects.parseAll(body.getBytes(ISO_8859_1))
+    assert(objs.resolve(PdfObjects.PRef(1, 0)) == PdfObjects.PNull) // 2-cycle
+    assert(objs.resolve(PdfObjects.PRef(3, 0)) == PdfObjects.PNull) // self-cycle
+    assert(objs.resolve(PdfObjects.PRef(4, 0)) != PdfObjects.PNull)
+  }
+
+  test("png predictor: bpc<8 non-byte-aligned width rounds row bytes UP") {
+    // Columns=10, Colors=1, bpc=1 → true row is ceil(10/8)=2 bytes; a floor
+    // would shift every row boundary and depredict against the wrong priors
+    val rows = Seq(Array[Byte](0x5A, 0x40), Array[Byte](0x33, 0x80.toByte),
+      Array[Byte](0x0F, 0xC0.toByte))
+    val enc = new java.io.ByteArrayOutputStream()
+    var prior = Array[Byte](0, 0)
+    rows.foreach { r =>
+      enc.write(2) // up filter
+      (0 until 2).foreach(i => enc.write(((r(i) & 0xFF) - (prior(i) & 0xFF)) & 0xFF))
+      prior = r
+    }
+    val dec = PdfObjects.pngDepredict(enc.toByteArray, 10, 1, 1).toOption.get
+    assert(dec.sameElements(rows.flatten), s"got ${dec.toSeq} want ${rows.flatten}")
+  }
+
+  test("decodeparms array is filter-parallel, not first-entry-for-all") {
+    // [/LZWDecode /FlateDecode] where ONLY the Flate entry carries the
+    // Predictor: applying the first parms dict to every filter would skip
+    // the depredict after inflate and garble the content stream
+    val content = "BT /F1 12 Tf 72 700 Td (parallel parms) Tj ET"
+    val bytes = content.getBytes(ISO_8859_1)
+    val cols = 10
+    val enc = new java.io.ByteArrayOutputStream()
+    val prior = new Array[Byte](cols)
+    var i = 0
+    while (i < bytes.length) {
+      val len = math.min(cols, bytes.length - i)
+      enc.write(2)
+      (0 until len).foreach { j =>
+        enc.write(((bytes(i + j) & 0xFF) - (prior(j) & 0xFF)) & 0xFF)
+      }
+      java.util.Arrays.fill(prior, 0.toByte)
+      System.arraycopy(bytes, i, prior, 0, len)
+      i += len
+    }
+    val packed = lzwEncode(MiniPdf.deflate(enc.toByteArray), 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${packed.length} /Filter [ /LZWDecode /FlateDecode ] " +
+      s"/DecodeParms [ << /EarlyChange 1 >> << /Predictor 12 /Columns $cols >> ] >>\nstream\n")
+    out.write(packed)
+    w("\nendstream\nendobj\n%%EOF\n")
+    while (out.size() < 1024) out.write('%')
+    assert(text(out.toByteArray) == "parallel parms")
+  }
+
   test("inline image: binary body with stray '(' and ops never fabricates text") {
     // BI params ID <binary containing ( and Tj and EI-without-ws> EI, then real text
     val body = Array[Byte]('(', 'f', 'a', 'k', 'e', ')', ' ', 'T', 'j', ' ',

@@ -20,6 +20,27 @@ class CharsetsSpec extends AnyFunSuite {
     assert(text == "hola")
   }
 
+  test("enc-meta-anchored: charset= outside a <meta> tag never hijacks detection") {
+    // script text, a comment, and visible text all carry charset= decoys;
+    // payload is valid UTF-8 so detection must land on UTF-8
+    val html = "<html><head><script>var charset=\"utf-16be\";</script>" +
+      "<!-- charset=shift_jis --></head><body>set charset=koi8-r here</body></html>"
+    val (cs, _) = Charsets.decode(html.getBytes(StandardCharsets.UTF_8))
+    assert(cs == "UTF-8")
+  }
+
+  test("enc-meta-anchored: charset in the SECOND meta tag is still found") {
+    val html = "<html><head><meta name=\"viewport\" content=\"width=device-width\">" +
+      "<meta http-equiv=\"content-type\" content=\"text/html; charset=windows-1252\"></head>"
+    val cs = Charsets.metaCharset(html.getBytes(StandardCharsets.ISO_8859_1))
+    assert(cs.map(_.name).contains("windows-1252"))
+  }
+
+  test("enc-meta-anchored: charset= after the meta tag's close is ignored") {
+    val html = "<html><head><meta name=\"a\" content=\"b\"><p>charset=koi8-r</p></head>"
+    assert(Charsets.metaCharset(html.getBytes(StandardCharsets.ISO_8859_1)).isEmpty)
+  }
+
   test("enc-meta-charset: windows-1252 with curly quote byte 0x93") {
     val head = "<html><head><meta charset=\"windows-1252\"></head><body>"
     val bytes = head.getBytes(StandardCharsets.ISO_8859_1) ++
