@@ -66,9 +66,28 @@ object PdfObjects {
     * then expand PDF 1.5 object streams (`/Type /ObjStm`) — compressed
     * containers whose member objects (catalog/page/font dicts; never
     * streams) are invisible to a body scan until the container is inflated.
+    *
+    * When the file carries a parseable `startxref` → xref/`/Prev` chain
+    * (classic tables, xref streams, or hybrid `/XRefStm`), that chain is
+    * AUTHORITATIVE for object resolution: incremental updates can point an
+    * object number at an EARLIER offset (rollback) or mark it free
+    * (deletion), both of which last-object-wins body scanning resolves
+    * wrongly. The body scan stays as the robustness baseline for files with
+    * broken or absent xref data.
     */
   def parseAll(bytes: Array[Byte]): Objects = {
     val out = scanObjects(bytes)
+    val xref =
+      try parseXrefChain(bytes)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[Int, XrefEntry] }
+    // type-1 entries: re-parse at the designated offset, newest section wins
+    xref.foreach {
+      case (num, XrefEntry(1, off, _)) =>
+        parseObjectAt(bytes, off.toInt, num).foreach(v => out(num) = v)
+      case (num, XrefEntry(0, _, _)) =>
+        out.remove(num) // newest chain entry says deleted
+      case _ =>
+    }
     val base = new Objects(out.toMap)
     out.values.toVector.foreach {
       case s: PStream if base.name(s.dict.m.getOrElse("Type", PNull)).contains("ObjStm") =>
@@ -77,7 +96,213 @@ object PdfObjects {
         }
       case _ =>
     }
+    // type-2 entries: the designated container's member is authoritative
+    xref.collect { case (num, XrefEntry(2, stmNum, _)) => (num, stmNum.toInt) }
+      .groupBy(_._2).foreach { case (stmNum, members) =>
+        out.get(stmNum) match {
+          case Some(s: PStream) =>
+            val mem = expandObjStm(s, new Objects(out.toMap)).toMap
+            members.foreach { case (num, _) =>
+              mem.get(num).foreach(v => out(num) = v)
+            }
+          case _ =>
+        }
+      }
     new Objects(out.toMap)
+  }
+
+  /** One xref entry: kind 0 = free (deleted), kind 1 = at byte offset `a`,
+    * kind 2 = member of the object stream numbered `a` (at index `b`).
+    */
+  final case class XrefEntry(kind: Int, a: Long, b: Int)
+
+  /** Newest-wins object locations from the `startxref` → `/Prev` chain
+    * (with hybrid `/XRefStm` branches). Empty when no chain parses.
+    */
+  def parseXrefChain(bytes: Array[Byte]): Map[Int, XrefEntry] = {
+    val sx = lastIndexOfKeyword(bytes, "startxref")
+    if (sx < 0) return Map.empty
+    val p0 = new Parser(bytes, sx + "startxref".length)
+    p0.skipWs()
+    val first = readAsciiInt(bytes, p0.pos)
+    if (first < 0) return Map.empty
+    val acc = mutable.Map.empty[Int, XrefEntry]
+    val visited = mutable.Set.empty[Long]
+    // newest section first; only the FIRST sighting of an object num counts
+    val queue = mutable.Queue[Long](first)
+    var guard = 0
+    while (queue.nonEmpty && guard < 64) {
+      guard += 1
+      val off = queue.dequeue()
+      if (off >= 0 && off < bytes.length && visited.add(off)) {
+        parseXrefSection(bytes, off.toInt, acc).foreach { trailer =>
+          // hybrid: /XRefStm holds newer info than /Prev — enqueue it first
+          trailer.m.get("XRefStm").collect { case PNum(v) => queue.enqueue(v.toLong) }
+          trailer.m.get("Prev").collect { case PNum(v) => queue.enqueue(v.toLong) }
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  /** One xref section (classic table or xref stream) at `off`; fills `acc`
+    * first-sighting-wins and returns the trailer/stream dict for chaining.
+    */
+  private def parseXrefSection(bytes: Array[Byte], off: Int,
+                               acc: mutable.Map[Int, XrefEntry]): Option[PDict] = {
+    val p = new Parser(bytes, off)
+    p.skipWs()
+    if (p.matchesAt("xref")) {
+      p.pos += 4
+      var done = false
+      var guard = 0
+      while (!done && guard < 1000000) {
+        guard += 1
+        p.skipWs()
+        if (p.matchesAt("trailer")) {
+          p.pos += 7
+          return p.parseValue() match { case d: PDict => Some(d); case _ => None }
+        }
+        val start = readAsciiInt(bytes, p.pos)
+        if (start < 0) { done = true }
+        else {
+          p.pos = skipAsciiInt(bytes, p.pos); p.skipWs()
+          val count = readAsciiInt(bytes, p.pos)
+          if (count < 0 || count > 1000000) { done = true }
+          else {
+            p.pos = skipAsciiInt(bytes, p.pos)
+            var k = 0
+            var ok = true
+            while (k < count && ok) {
+              p.skipWs()
+              val o = readAsciiLong(bytes, p.pos)
+              p.pos = skipAsciiInt(bytes, p.pos); p.skipWs()
+              val g = readAsciiInt(bytes, p.pos)
+              p.pos = skipAsciiInt(bytes, p.pos); p.skipWs()
+              val flag = if (p.pos < bytes.length) bytes(p.pos).toChar else ' '
+              if (o < 0 || g < 0 || (flag != 'n' && flag != 'f')) ok = false
+              else {
+                p.pos += 1
+                val num = start + k
+                if (!acc.contains(num))
+                  acc(num) = if (flag == 'n') XrefEntry(1, o, g) else XrefEntry(0, 0L, 0)
+                k += 1
+              }
+            }
+            if (!ok) done = true
+          }
+        }
+      }
+      None
+    } else {
+      // xref STREAM: `N G obj << /Type /XRef ... >> stream`
+      val objs = new Objects(Map.empty) // xref-stream dict entries are direct
+      p.parseValue(); p.parseValue() // object and generation numbers
+      p.skipWs()
+      if (!p.matchesAt("obj")) return None
+      p.pos += 3
+      p.maybeStream(p.parseValue()) match {
+        case s: PStream if objs.name(s.dict.m.getOrElse("Type", PNull)).contains("XRef") =>
+          decodeStream(s, objs) match {
+            case Right(data) =>
+              val w = objs.arr(s.dict.m.getOrElse("W", PNull))
+                .map(_.flatMap(v => objs.num(v)).map(_.toInt)).getOrElse(Vector.empty)
+              if (w.length < 2 || w.exists(x => x < 0 || x > 8)) return None
+              val w0 = w(0); val w1 = w(1); val w2 = if (w.length > 2) w(2) else 0
+              val rowLen = w0 + w1 + w2
+              if (rowLen <= 0) return None
+              val size = objs.num(s.dict.m.getOrElse("Size", PNull)).map(_.toInt).getOrElse(0)
+              val index: Vector[Int] = objs.arr(s.dict.m.getOrElse("Index", PNull))
+                .map(_.flatMap(v => objs.num(v)).map(_.toInt))
+                .getOrElse(Vector(0, size))
+              var row = 0
+              index.grouped(2).foreach {
+                case Vector(start, count) =>
+                  var k = 0
+                  while (k < count && (row + 1) * rowLen <= data.length) {
+                    val base = row * rowLen
+                    def field(o: Int, len: Int, dflt: Long): Long = {
+                      if (len == 0) return dflt
+                      var v = 0L; var i = 0
+                      while (i < len) { v = (v << 8) | (data(base + o + i) & 0xFF); i += 1 }
+                      v
+                    }
+                    val t = field(0, w0, 1L).toInt // type defaults to 1 when W[0]=0
+                    val f2 = field(w0, w1, 0L)
+                    val f3 = field(w0 + w1, w2, 0L).toInt
+                    val num = start + k
+                    if (!acc.contains(num) && t >= 0 && t <= 2)
+                      acc(num) = XrefEntry(t, f2, f3)
+                    row += 1; k += 1
+                  }
+                case _ =>
+              }
+              Some(s.dict)
+            case Left(_) => None
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Parse the object whose header sits exactly at `off`; the header's
+    * object number must equal `expected` (a mismatch means the xref is
+    * stale/corrupt and the body-scan value stands).
+    */
+  private def parseObjectAt(bytes: Array[Byte], off: Int, expected: Int): Option[PVal] = {
+    if (off < 0 || off >= bytes.length) return None
+    try {
+      val p = new Parser(bytes, off)
+      (p.parseValue(), p.parseValue()) match {
+        case (PNum(num), PNum(_)) if num == expected.toDouble =>
+          p.skipWs()
+          if (!p.matchesAt("obj")) None
+          else {
+            p.pos += 3
+            Some(p.maybeStream(p.parseValue()))
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def readAsciiInt(b: Array[Byte], at: Int): Int = {
+    var i = at; var v = 0L; var any = false
+    while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0'); any = true
+      if (v > Int.MaxValue) return -1
+      i += 1
+    }
+    if (any) v.toInt else -1
+  }
+
+  private def readAsciiLong(b: Array[Byte], at: Int): Long = {
+    var i = at; var v = 0L; var any = false
+    while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0'); any = true
+      if (v > (1L << 60)) return -1L
+      i += 1
+    }
+    if (any) v else -1L
+  }
+
+  private def skipAsciiInt(b: Array[Byte], at: Int): Int = {
+    var i = at
+    while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+    i
+  }
+
+  private def lastIndexOfKeyword(hay: Array[Byte], needle: String): Int = {
+    val m = needle.length
+    var i = hay.length - m
+    while (i >= 0) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) { if (hay(i + j) != needle.charAt(j)) ok = false; j += 1 }
+      if (ok) return i
+      i -= 1
+    }
+    -1
   }
 
   /** Member objects of one object stream: header is N (objnum, offset)
@@ -196,6 +421,9 @@ object PdfObjects {
       while (i < s.length) { if (bytes(pos + i) != s.charAt(i)) return false; i += 1 }
       true
     }
+
+    /** Keyword lookahead at the current position (xref-section parsing). */
+    private[pdf] def matchesAt(s: String): Boolean = matches(s)
 
     def parseName(): PName = {
       pos += 1 // '/'

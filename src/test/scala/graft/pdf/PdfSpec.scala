@@ -548,6 +548,120 @@ class PdfSpec extends AnyFunSuite {
     assert(text(out.toByteArray) == "predicted ok")
   }
 
+  /** Offset-tracking builder for incremental-update fixtures. */
+  private class IncrementalPdf {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def size: Int = out.size()
+
+    /** Base document: catalog(1) pages(2) font(3) page(4) content(5). */
+    def base(content: String): Map[Int, Int] = {
+      w("%PDF-1.7\n")
+      val offs = scala.collection.mutable.Map[Int, Int]()
+      offs(1) = size; w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      offs(2) = size; w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+      offs(3) = size; w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+      offs(4) = size; w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+      offs(5) = size; contentObj(5, content)
+      offs.toMap
+    }
+
+    def contentObj(num: Int, content: String): Int = {
+      val at = size
+      val bytes = content.getBytes(ISO_8859_1)
+      w(s"$num 0 obj\n<< /Length ${bytes.length} >>\nstream\n")
+      out.write(bytes)
+      w("\nendstream\nendobj\n")
+      at
+    }
+
+    /** Classic xref section + trailer + startxref; one subsection per object. */
+    def xrefClassic(entries: Map[Int, Int], free: Set[Int] = Set.empty,
+                    prev: Option[Int] = None): Int = {
+      val at = size
+      w("xref\n0 1\n0000000000 65535 f \n")
+      entries.toSeq.sortBy(_._1).foreach { case (n, o) =>
+        w(s"$n 1\n"); w(f"$o%010d 00000 n \n")
+      }
+      free.toSeq.sorted.foreach { n => w(s"$n 1\n"); w("0000000000 00001 f \n") }
+      val p = prev.map(x => s" /Prev $x").getOrElse("")
+      w(s"trailer\n<< /Size 10 /Root 1 0 R$p >>\nstartxref\n$at\n%%EOF\n")
+      at
+    }
+
+    /** PDF 1.5 xref STREAM section (W [1 4 2], Flate) + startxref. */
+    def xrefStream(objNum: Int, entries: Map[Int, Int], prev: Option[Int] = None): Int = {
+      val at = size
+      val rows = entries.toSeq.sortBy(_._1)
+      val data = new java.io.ByteArrayOutputStream()
+      rows.foreach { case (_, off) =>
+        data.write(1)
+        data.write((off >> 24) & 0xFF); data.write((off >> 16) & 0xFF)
+        data.write((off >> 8) & 0xFF); data.write(off & 0xFF)
+        data.write(0); data.write(0)
+      }
+      val packed = MiniPdf.deflate(data.toByteArray)
+      val index = rows.map { case (n, _) => s"$n 1" }.mkString(" ")
+      val p = prev.map(x => s" /Prev $x").getOrElse("")
+      w(s"$objNum 0 obj\n<< /Type /XRef /Size 10 /W [ 1 4 2 ] /Index [ $index ] " +
+        s"/Filter /FlateDecode /Length ${packed.length} /Root 1 0 R$p >>\nstream\n")
+      out.write(packed)
+      w("\nendstream\nendobj\nstartxref\n" + at + "\n%%EOF\n")
+      at
+    }
+
+    def bytes: Array[Byte] = {
+      while (out.size() < 1024) out.write('%')
+      out.toByteArray
+    }
+  }
+
+  test("incremental update: appended newer object wins through the xref chain") {
+    val b = new IncrementalPdf
+    val offs = b.base("BT /F1 12 Tf 72 700 Td (version one) Tj ET")
+    val x1 = b.xrefClassic(offs)
+    val v2 = b.contentObj(5, "BT /F1 12 Tf 72 700 Td (version two) Tj ET")
+    b.xrefClassic(Map(5 -> v2), prev = Some(x1))
+    assert(text(b.bytes) == "version two")
+  }
+
+  test("incremental update: xref ROLLBACK beats body-scan last-object-wins") {
+    // the update appends a v2 body, but the newest xref section points the
+    // object back at v1's offset — a pure body scan would return v2
+    val b = new IncrementalPdf
+    val offs = b.base("BT /F1 12 Tf 72 700 Td (version one) Tj ET")
+    val x1 = b.xrefClassic(offs)
+    b.contentObj(5, "BT /F1 12 Tf 72 700 Td (version two) Tj ET")
+    b.xrefClassic(Map(5 -> offs(5)), prev = Some(x1))
+    assert(text(b.bytes) == "version one")
+  }
+
+  test("incremental update: newest section marking the object FREE deletes it") {
+    val b = new IncrementalPdf
+    val offs = b.base("BT /F1 12 Tf 72 700 Td (version one) Tj ET")
+    val x1 = b.xrefClassic(offs)
+    b.xrefClassic(Map.empty, free = Set(5), prev = Some(x1))
+    val got = PdfExtractor.extract(b.bytes).fold(_ => "", _.text)
+    assert(!got.contains("version"), s"deleted object resurrected: '$got'")
+  }
+
+  test("incremental update: rollback via a PDF 1.5 xref STREAM section") {
+    val b = new IncrementalPdf
+    val offs = b.base("BT /F1 12 Tf 72 700 Td (version one) Tj ET")
+    val x1 = b.xrefClassic(offs)
+    b.contentObj(5, "BT /F1 12 Tf 72 700 Td (version two) Tj ET")
+    b.xrefStream(9, Map(5 -> offs(5)), prev = Some(x1))
+    assert(text(b.bytes) == "version one")
+  }
+
+  test("broken startxref offset degrades to the body scan, never throws") {
+    val b = new IncrementalPdf
+    b.base("BT /F1 12 Tf 72 700 Td (still works) Tj ET")
+    b.w("startxref\n999999999\n%%EOF\n")
+    assert(text(b.bytes) == "still works")
+  }
+
   test("objects: reference cycles resolve to PNull, never StackOverflowError") {
     val body = "%PDF-1.7\n1 0 obj\n2 0 R\nendobj\n2 0 obj\n1 0 R\nendobj\n" +
       "3 0 obj\n3 0 R\nendobj\n4 0 obj\n(ok)\nendobj\n"
