@@ -137,14 +137,27 @@ object SyntheticPages {
     Spec(urlOf(docId), Epoch + docId * 1000L, bytes, golden, lang)
   }
 
-  /** PDF payload + golden. Golden = lines joined "\n" per page, pages "\n\n". */
+  /** PDF payload + golden. Golden = lines joined "\n" per page, pages "\n\n".
+    * The `% 7 == 3` slot (same as the HTML table slot) appends a RULED-grid
+    * table page: structure carried by drawn lines, text x ragged per row —
+    * extractable only via [[graft.pdf.RuleGrid]]. Cell text stays in the
+    * golden (pdfplumber semantics: text and tables are independent views).
+    */
   private def pdfPage(docId: Long, words: Vector[String], lang: String): Spec = {
     val lines = words.grouped(8).map(_.mkString(" ")).toVector
     val pages = lines.grouped(10).toVector
-    val golden = pages.map(_.mkString("\n")).mkString("\n\n")
-    val streams = pages.map { pageLines =>
+    val textPages = pages.map(_.mkString("\n"))
+    val streams0 = pages.map { pageLines =>
       MiniPdf.streamFor(pageLines.zipWithIndex.map { case (l, i) => (l, 72, 720 - 14 * i) })
     }
+    val (streams, goldenPages) =
+      if (docId % 7 == 3) {
+        val rows = Seq(Seq("key", "value"), Seq("id", docId.toString))
+        val ruled = MiniPdf.ruledGridStream(rows, Seq(72, 212),
+          jitter = (r, c) => ((docId % 7).toInt + r * 4 + c * 6) % 17)
+        (streams0 :+ ruled, textPages :+ s"key value\nid $docId")
+      } else (streams0, textPages)
+    val golden = goldenPages.mkString("\n\n")
     val flate = (docId / 10) % 2 == 0
     Spec(urlOf(docId), Epoch + docId * 1000L, MiniPdf.build(streams, flate = flate),
       golden, lang)

@@ -15,14 +15,26 @@ object ContentStream {
 
   final case class RawSpan(text: String, x: Double, y: Double)
 
+  /** An axis-parallel painted segment (drawn table rule). */
+  final case class Rule(x0: Double, y0: Double, x1: Double, y1: Double) {
+    def isHorizontal: Boolean = math.abs(y1 - y0) <= math.abs(x1 - x0)
+  }
+
   final case class PageOps(
     spans: Vector[RawSpan],
     sawFontOp: Boolean,
-    imageDraws: Int)
+    imageDraws: Int,
+    rules: Vector[Rule] = Vector.empty)
+
+  /** Segments within 1pt of axis-parallel count as rules. */
+  private val AxisTol = 1.0
+  /** Filled rects at most this thick are rules drawn as fills. */
+  private val ThinTol = 2.5
 
   def run(content: Array[Byte],
           fonts: Map[String, FontDecode.FontDec] = Map.empty): PageOps = {
     val spans = new ArrayBuffer[RawSpan]
+    val rules = new ArrayBuffer[Rule]
     var sawFont = false
     var images = 0
 
@@ -56,6 +68,35 @@ object ContentStream {
       else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
 
     def newline(): Unit = { lineY -= leading }
+
+    // path state (ruling-line table extraction, E9): straight segments from
+    // m/l/h and rects from re accumulate until a PAINTING operator commits
+    // them (stroke or fill) or `n` discards them (clip-only path). No CTM —
+    // same device-space scope as the text layout.
+    val pendSegs = new ArrayBuffer[(Double, Double, Double, Double)]
+    val pendRects = new ArrayBuffer[(Double, Double, Double, Double)] // x,y,w,h
+    var curX = 0.0; var curY = 0.0; var subX = 0.0; var subY = 0.0
+
+    def commitPaint(): Unit = {
+      pendSegs.foreach { case (x0, y0, x1, y1) =>
+        // only axis-parallel segments can be table rules
+        if (math.abs(y1 - y0) <= AxisTol || math.abs(x1 - x0) <= AxisTol)
+          rules += Rule(x0, y0, x1, y1)
+      }
+      pendRects.foreach { case (x, y, w, h) =>
+        if (h <= ThinTol && w > ThinTol) // thin filled bar = horizontal rule
+          rules += Rule(x, y + h / 2, x + w, y + h / 2)
+        else if (w <= ThinTol && h > ThinTol)
+          rules += Rule(x + w / 2, y, x + w / 2, y + h)
+        else { // full rect: its four edges are rules (bordered cell/grid)
+          rules += Rule(x, y, x + w, y)
+          rules += Rule(x, y + h, x + w, y + h)
+          rules += Rule(x, y, x, y + h)
+          rules += Rule(x + w, y, x + w, y + h)
+        }
+      }
+      pendSegs.clear(); pendRects.clear()
+    }
 
     def showLast(): Unit = operands.lastOption match {
       case Some(OStr(b)) =>
@@ -92,6 +133,22 @@ object ContentStream {
                 if (sb.length > 0) spans += RawSpan(sb.toString, lineX, lineY)
               case _ =>
             }
+            // path construction (PDF 1.7 §8.5.2)
+            case "m" => curX = num(1); curY = num(0); subX = curX; subY = curY
+            case "l" =>
+              val nx = num(1); val ny = num(0)
+              pendSegs += ((curX, curY, nx, ny)); curX = nx; curY = ny
+            case "h" =>
+              pendSegs += ((curX, curY, subX, subY)); curX = subX; curY = subY
+            case "re" =>
+              pendRects += ((num(3), num(2), num(1), num(0)))
+              curX = num(3); curY = num(2); subX = curX; subY = curY
+            case "c" | "v" | "y" => curX = num(1); curY = num(0) // curves: not rules
+            // path painting (§8.5.3): commit; `n` = clip-only, discard
+            case "s" | "b" | "b*" => // close-then-paint variants
+              pendSegs += ((curX, curY, subX, subY)); commitPaint()
+            case "S" | "f" | "F" | "f*" | "B" | "B*" => commitPaint()
+            case "n" => pendSegs.clear(); pendRects.clear()
             case "Do" => images += 1 // XObject draw; counted as potential image
             case "BI" => // inline image: skip params + binary body to EI —
               // raw image bytes must never be tokenized (a stray '(' would
@@ -104,7 +161,7 @@ object ContentStream {
       }
       tok = lexer.next()
     }
-    PageOps(spans.toVector, sawFont, images)
+    PageOps(spans.toVector, sawFont, images, rules.toVector)
   }
 
   sealed trait Token

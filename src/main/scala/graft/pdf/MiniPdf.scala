@@ -176,6 +176,31 @@ object MiniPdf {
     }.mkString("\n")
   }
 
+  /** Ruled-grid page: drawn boundary lines (`m/l S`) carry the structure,
+    * text x positions may be RAGGED per row (`jitter(row, col)` points of
+    * per-cell shift) so span-alignment detection alone cannot recover the
+    * columns — only [[RuleGrid]] can. Column boundaries sit at `colXs` and
+    * `colXs.last + colWidth`; row boundaries every `rowStep` from `topY`.
+    */
+  def ruledGridStream(rows: Seq[Seq[String]], colXs: Seq[Int],
+                      colWidth: Int = 140, topY: Int = 700, rowStep: Int = 20,
+                      jitter: (Int, Int) => Int = (_, _) => 0): String = {
+    val xBounds = colXs ++ Seq(colXs.last + colWidth)
+    val yBounds = (0 to rows.length).map(topY + 4 - _ * rowStep)
+    val sb = new StringBuilder
+    yBounds.foreach(y => sb.append(s"${xBounds.head} $y m ${xBounds.last} $y l S\n"))
+    xBounds.foreach(x => sb.append(s"$x ${yBounds.last} m $x ${yBounds.head} l S\n"))
+    rows.zipWithIndex.foreach { case (cells, r) =>
+      cells.zip(colXs).zipWithIndex.foreach { case ((cell, x), c) =>
+        if (cell.nonEmpty) {
+          val cx = x + 4 + jitter(r, c)
+          sb.append(s"BT /F1 12 Tf $cx ${topY - 10 - r * rowStep} Td (${escape(cell)}) Tj ET\n")
+        }
+      }
+    }
+    sb.toString
+  }
+
   def escape(s: String): String =
     s.flatMap {
       case '(' => "\\("

@@ -53,29 +53,39 @@ object PdfExtractor {
       if (ops.sawFontOp) sawFont = true
       images += ops.imageDraws
       if (resourcesHaveFont(page, objs)) sawFont = true
-      (idx, ops.spans)
+      (idx, ops)
     }
 
     // a filter we cannot decode on every page with no text at all → error
-    if (filterError != null && pageResults.forall(_._2.isEmpty))
+    if (filterError != null && pageResults.forall(_._2.spans.isEmpty))
       return Left(filterError)
 
     val sb = new java.lang.StringBuilder
     val allSpans = Vector.newBuilder[SpanRow]
     var off = 0
-    pageResults.foreach { case (idx, raw) =>
+    pageResults.foreach { case (idx, ops) =>
       if (idx > 0) { sb.append("\n\n"); off += 2 }
-      val pt = SpanLayout.layoutPage(idx, raw, off)
+      val pt = SpanLayout.layoutPage(idx, ops.spans, off)
       sb.append(pt.text)
       off += pt.text.length
       allSpans ++= pt.spans
     }
     val text = sb.toString
-    val tables: Vector[TableRow] =
-      pageResults.flatMap { case (_, raw) => TableGrid.detect(raw) }.toVector
+    // tables: drawn-rule grids first (pdfplumber "lines" strategy), then
+    // span-alignment detection over the spans OUTSIDE any rule grid — one
+    // table is detected by exactly one strategy
+    val tables: Vector[TableRow] = pageResults.flatMap { case (_, ops) =>
+      RuleGrid.detect(ops.rules, ops.spans) match {
+        case Some((ruled, (x0, y0, x1, y1))) =>
+          val outside = ops.spans.filterNot(s =>
+            s.x >= x0 && s.x <= x1 && s.y >= y0 && s.y <= y1)
+          ruled +: TableGrid.detect(outside)
+        case None => TableGrid.detect(ops.spans)
+      }
+    }.toVector
 
     val pageCount = pages.length
-    val pagesWithText = pageResults.count(_._2.nonEmpty)
+    val pagesWithText = pageResults.count(_._2.spans.nonEmpty)
     val extractableRatio = pagesWithText.toDouble / pageCount
     val avgTextPerPage = text.length.toDouble / pageCount
     val imgRatio = images.toDouble / pageCount

@@ -548,6 +548,64 @@ class PdfSpec extends AnyFunSuite {
     assert(text(out.toByteArray) == "predicted ok")
   }
 
+  test("ruled-grid: drawn rules with ragged text extract the correct table") {
+    // per-cell x jitter means no column ever aligns across rows — the
+    // span-alignment strategy cannot see this table, only the rules can
+    val jitter = (r: Int, c: Int) => (r * 7 + c * 5) % 23
+    val pdf = MiniPdf.build(Seq(MiniPdf.ruledGridStream(
+      Seq(Seq("name", "qty"), Seq("ancho", "7"), Seq("bolt", "12")),
+      Seq(72, 212), jitter = jitter)))
+    val doc = PdfExtractor.extract(pdf).toOption.get
+    assert(doc.tables.length == 1, s"tables=${doc.tables}")
+    assert(doc.tables.head.data ==
+      Seq(Seq("name", "qty"), Seq("ancho", "7"), Seq("bolt", "12")))
+    assert(doc.tables.head.confidence == 1.0)
+    // main text unaltered: cells still read as lines (pdfplumber semantics)
+    assert(doc.text == "name qty\nancho 7\nbolt 12")
+  }
+
+  test("ruled-grid: thin filled rects act as rules") {
+    val s = new StringBuilder
+    // horizontal 1pt-high bars at y 704/684/664, vertical 1pt-wide at x 72/212/352
+    Seq(704, 684, 664).foreach(y => s.append(s"72 $y 281 1 re f\n"))
+    Seq(72, 212, 352).foreach(x => s.append(s"$x 664 1 41 re f\n"))
+    s.append("BT /F1 12 Tf 80 690 Td (alpha) Tj ET\n")
+    s.append("BT /F1 12 Tf 230 690 Td (beta) Tj ET\n")
+    s.append("BT /F1 12 Tf 91 670 Td (gamma) Tj ET\n")
+    s.append("BT /F1 12 Tf 219 670 Td (delta) Tj ET\n")
+    val doc = PdfExtractor.extract(MiniPdf.build(Seq(s.toString))).toOption.get
+    assert(doc.tables.length == 1, s"tables=${doc.tables}")
+    assert(doc.tables.head.data == Seq(Seq("alpha", "beta"), Seq("gamma", "delta")))
+  }
+
+  test("ruled-grid: a plain border box around prose is not a table") {
+    val s = "72 600 200 100 re S\nBT /F1 12 Tf 80 650 Td (solo en caja) Tj ET"
+    val doc = PdfExtractor.extract(MiniPdf.build(Seq(s))).toOption.get
+    assert(doc.tables.isEmpty, s"tables=${doc.tables}")
+    assert(doc.text == "solo en caja")
+  }
+
+  test("ruled-grid: clip-only path (n) draws no rules") {
+    val s = "72 600 400 200 re W n\nBT /F1 12 Tf 80 650 Td (clipped) Tj ET"
+    val doc = PdfExtractor.extract(MiniPdf.build(Seq(s))).toOption.get
+    assert(doc.tables.isEmpty)
+    assert(doc.text == "clipped")
+  }
+
+  test("ruled-grid: ruled table and aligned-span table coexist, no double count") {
+    val ruled = MiniPdf.ruledGridStream(
+      Seq(Seq("a", "b"), Seq("c", "d")), Seq(72, 212),
+      jitter = (r, c) => (r * 9 + c) % 13)
+    // an aligned-span grid BELOW the ruled one (y 500 down)
+    val aligned = MiniPdf.gridStream(
+      Seq(Seq("k1", "v1"), Seq("k2", "v2"), Seq("k3", "v3")), Seq(72, 220), topY = 500)
+    val doc = PdfExtractor.extract(MiniPdf.build(Seq(ruled + "\n" + aligned))).toOption.get
+    assert(doc.tables.length == 2, s"tables=${doc.tables.map(_.data)}")
+    assert(doc.tables.map(_.data).contains(Seq(Seq("a", "b"), Seq("c", "d"))))
+    assert(doc.tables.map(_.data).contains(
+      Seq(Seq("k1", "v1"), Seq("k2", "v2"), Seq("k3", "v3"))))
+  }
+
   /** Offset-tracking builder for incremental-update fixtures. */
   private class IncrementalPdf {
     val out = new java.io.ByteArrayOutputStream()
