@@ -74,7 +74,10 @@ object FontDecode {
                   else 1
                 Some(fname -> FontDec(cl, m))
               case None if subtype.contains("Type0") =>
-                Some(fname -> FontDec(2, Map.empty)) // Identity degrade
+                // no /ToUnicode: for Identity-H/V the codes are glyph ids —
+                // reverse the embedded TrueType's cmap when one is present;
+                // empty map keeps the documented BMP-codepoint degrade
+                Some(fname -> FontDec(2, identityGidMap(f, objs)))
               case None =>
                 // simple font: /Encoding /Differences remaps single bytes
                 differencesMap(f, objs) match {
@@ -84,6 +87,32 @@ object FontDecode {
             }
           }
         }
+    }
+  }
+
+  /** Identity-H/V Type0 without /ToUnicode: show-string codes are CIDs and
+    * (with /CIDToGIDMap /Identity or absent) glyph ids; the descendant's
+    * embedded /FontFile2 TrueType `cmap` reversed gives gid → unicode
+    * ([[TrueTypeCmap]]). Any other predefined CMap (UniGB-UCS2-H, …) or a
+    * stream CIDToGIDMap keeps the documented degrade (empty map).
+    */
+  private def identityGidMap(f: PDict, objs: Objects): Map[Int, String] = {
+    val enc = objs.name(f.m.getOrElse("Encoding", PNull))
+    if (!enc.exists(e => e == "Identity-H" || e == "Identity-V")) return Map.empty
+    val desc = objs.arr(f.m.getOrElse("DescendantFonts", PNull))
+      .flatMap(_.headOption).flatMap(objs.dict)
+    desc match {
+      case Some(d) =>
+        val identity = d.m.get("CIDToGIDMap")
+          .forall(v => objs.name(v).contains("Identity"))
+        if (!identity) return Map.empty
+        (for {
+          fd <- objs.dict(d.m.getOrElse("FontDescriptor", PNull))
+          ff <- Some(objs.resolve(fd.m.getOrElse("FontFile2", PNull)))
+            .collect { case s: PStream => s }
+          data <- decodeStream(ff, objs).toOption
+        } yield TrueTypeCmap.reverseMap(data)).getOrElse(Map.empty)
+      case None => Map.empty
     }
   }
 

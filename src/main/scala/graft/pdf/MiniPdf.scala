@@ -127,6 +127,41 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Identity-H Type0 WITHOUT /ToUnicode but WITH an embedded TrueType
+    * program (/FontFile2) whose `cmap` carries the unicode→gid mapping —
+    * the composite-font shape real-world subset-embedded PDFs use.
+    */
+  def buildType0Embedded(shows: Seq[(String, Int, Int)], fontFile: Array[Byte],
+                         padTo: Int = 1024): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-TT " +
+      "/Encoding /Identity-H /DescendantFonts [ 6 0 R ] >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    val content = shows.map { case (hex, x, y) =>
+      s"BT /F1 12 Tf $x $y Td <$hex> Tj ET"
+    }.mkString("\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    w("6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synthetic-TT " +
+      "/CIDToGIDMap /Identity /FontDescriptor 7 0 R >>\nendobj\n")
+    w("7 0 obj\n<< /Type /FontDescriptor /FontName /Synthetic-TT /Flags 4 " +
+      "/FontFile2 8 0 R >>\nendobj\n")
+    w(s"8 0 obj\n<< /Length ${fontFile.length} >>\nstream\n")
+    out.write(fontFile)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n")
+    if (out.size() < padTo) {
+      w("%")
+      while (out.size() < padTo - 1) out.write('x')
+      w("\n")
+    }
+    out.toByteArray
+  }
+
   /** Single page whose catalog/pages/page dicts live inside a compressed
     * PDF 1.5 object stream (`/Type /ObjStm`, obj 6); only the content
     * stream (obj 5) and the container are direct objects — the shape a
