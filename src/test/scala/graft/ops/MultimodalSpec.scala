@@ -40,6 +40,72 @@ class MultimodalSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("image payloads are real PNGs; dims match the typed metadata") {
+    val imgs = Multimodal.synthesize(docs)
+      .where(col("kind") === "image").limit(20).collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(decoded != null, "payload is not a decodable image")
+      assert(decoded.getWidth == r.getAs[Int]("width"))
+      assert(decoded.getHeight == r.getAs[Int]("height"))
+    }
+  }
+
+  test("decodeImage: known pixel values land in the right luminance bins") {
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 4).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val black = Multimodal.decodeImage(png(0x000000)).get
+    assert(black(0) == 1.0 && black.sum == 1.0)
+    val white = Multimodal.decodeImage(png(0xFFFFFF)).get
+    assert(white(15) == 1.0)
+    // mid gray 0x808080 → luminance 128 → bin 8
+    val gray = Multimodal.decodeImage(png(0x808080)).get
+    assert(gray(8) == 1.0)
+    assert(Multimodal.decodeImage(Array.fill[Byte](32)(7)).isEmpty)
+  }
+
+  test("decodeAudio: real WAV samples drive the histogram") {
+    // constant max-positive samples → all mass in the top bin
+    val wav = {
+      val base = Multimodal.synthesizeWav(1L, 100)
+      val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 100).foreach(i => bb.putShort(44 + 2 * i, 32767.toShort))
+      base
+    }
+    val f = Multimodal.decodeAudio(wav).get
+    assert(f(15) == 1.0 && f.sum == 1.0)
+    assert(Multimodal.decodeAudio(Array.fill[Byte](32)(7)).isEmpty)
+    // synthesized corpus audio decodes for real
+    val a = Multimodal.synthesize(docs).where(col("kind") === "audio").limit(5).collect()
+    a.foreach { r =>
+      assert(Multimodal.decodeAudio(r.getAs[Array[Byte]]("payload")).isDefined)
+    }
+  }
+
+  test("resizeImages: payload actually re-encoded at the clamped size") {
+    val assets = Multimodal.synthesize(docs)
+    val resized = Multimodal.resizeImages(assets, 16, 16)
+    val imgs = resized.where(col("kind") === "image").limit(20).collect()
+    imgs.foreach { r =>
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(decoded.getWidth <= 16 && decoded.getHeight <= 16)
+      assert(decoded.getWidth == r.getAs[Int]("width"))
+      assert(decoded.getHeight == r.getAs[Int]("height"))
+    }
+    // non-image rows pass through untouched
+    val vid = resized.where(col("kind") === "video").limit(1).collect()(0)
+    assert(vid.getAs[Int]("width") == 1280)
+  }
+
   test("resize stub clamps dimensions, keeps aspect, leaves payload") {
     val assets = Multimodal.synthesize(docs)
     val resized = Multimodal.resize(assets, 320, 240)
