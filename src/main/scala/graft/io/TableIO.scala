@@ -14,6 +14,11 @@ trait TableIO {
     * building block; Iceberg: dynamic overwrite / MERGE).
     */
   def overwritePartitions(df: DataFrame, table: String, partitionCol: String): Unit
+  /** Drop whole key-partitions (resume drift tombstoning; Iceberg:
+    * `DELETE FROM t WHERE partitionCol IN (...)`).
+    */
+  def deletePartitions(spark: SparkSession, table: String, partitionCol: String,
+                       keys: Seq[Int]): Unit
   def exists(spark: SparkSession, table: String): Boolean
 }
 
@@ -30,6 +35,16 @@ object ParquetIO extends TableIO {
       .partitionBy(partitionCol)
       .mode(SaveMode.Overwrite)
       .parquet(table)
+
+  def deletePartitions(spark: SparkSession, table: String, partitionCol: String,
+                       keys: Seq[Int]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(table)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    keys.foreach { k =>
+      val p = new org.apache.hadoop.fs.Path(base, s"$partitionCol=$k")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
 
   def exists(spark: SparkSession, table: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(table)

@@ -61,19 +61,42 @@ object Checkpoint {
     import spark.implicits._
 
     val fps = fingerprints(pages, numBuckets).cache()
-    val committed: Map[Int, Long] =
+    // latest manifest row per bucket wins (re-extraction overwrites);
+    // a tombstone row (rows_in = 0) means the bucket was deleted — it is
+    // NOT an active commit, so a reappearing bucket re-extracts
+    val latestRows: Map[Int, (Long, Long)] =
       if (io.exists(spark, manifestPath(outDir)))
         io.read(spark, manifestPath(outDir))
-          .select("bucket", "input_fingerprint", "committed_seq")
+          .select("bucket", "input_fingerprint", "committed_seq", "rows_in")
           .collect()
           .groupBy(_.getInt(0))
-          // latest manifest row per bucket wins (re-extraction overwrites)
-          .map { case (b, rows) => b -> rows.maxBy(_.getLong(2)).getLong(1) }
+          .map { case (b, rows) =>
+            val latest = rows.maxBy(_.getLong(2))
+            b -> (latest.getLong(1), latest.getLong(3))
+          }
       else Map.empty
+    val committed: Map[Int, Long] =
+      latestRows.collect { case (b, (fp, rowsIn)) if rowsIn > 0 => b -> fp }
 
     val current = fps.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val pending = current.filter { case (b, fp, _, _) => !committed.get(b).contains(fp) }
     val pendingBuckets = pending.map(_._1).toSet
+
+    // input DRIFT the pending check cannot see: a bucket committed earlier
+    // whose rows are now entirely GONE from the input. Its stale data
+    // partition is dropped and a tombstone appended (data-then-manifest,
+    // same crash ordering as the commit path) so dataPath never serves
+    // rows with no corresponding input.
+    val staleBuckets = committed.keySet.diff(current.map(_._1).toSet).toSeq.sorted
+    if (staleBuckets.nonEmpty) {
+      io.deletePartitions(spark, dataPath(outDir), "bucket", staleBuckets)
+      val tomb = staleBuckets.map(b => (b, 0L, 0L, 0L))
+        .toDF("bucket", "input_fingerprint", "rows_in", "bytes_in")
+        .withColumn("rows_out", lit(0L))
+        .withColumn("job_run_id", lit(jobRunId))
+        .withColumn("committed_seq", lit(System.currentTimeMillis()))
+      io.write(tomb, manifestPath(outDir), SaveMode.Append)
+    }
 
     if (pendingBuckets.nonEmpty) {
       val todo = pages

@@ -80,6 +80,37 @@ class CheckpointSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("row deletion drift: a committed bucket gone from the input is tombstoned") {
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val out = freshDir()
+    Checkpoint.run(pages, out, ParquetIO, conf, "run-1", numBuckets = 16)
+
+    // every row of bucket 3 disappears from the input
+    val reduced = pages.where(Checkpoint.bucketCol(col("url"), 16) =!= 3).cache()
+    val s2 = Checkpoint.run(reduced, out, ParquetIO, conf, "run-2", numBuckets = 16)
+    assert(s2.bucketsPending == 0, s"no surviving bucket drifted: $s2")
+
+    // stale data is gone: dataPath serves exactly the reduced input's rows
+    val data = spark.read.parquet(Checkpoint.dataPath(out))
+    assert(data.count() == reduced.count())
+    assert(data.where(col("bucket") === 3).count() == 0)
+    // tombstone row recorded for the deleted bucket
+    val m = spark.read.parquet(Checkpoint.manifestPath(out))
+    assert(m.where(col("bucket") === 3 && col("rows_in") === 0 &&
+      col("job_run_id") === "run-2").count() == 1)
+
+    // idempotent: a third run over the same reduced input adds nothing
+    val mRows = m.count()
+    Checkpoint.run(reduced, out, ParquetIO, conf, "run-3", numBuckets = 16)
+    assert(spark.read.parquet(Checkpoint.manifestPath(out)).count() == mRows)
+
+    // the bucket REAPPEARING in the input re-extracts (tombstone ≠ commit)
+    val s4 = Checkpoint.run(pages, out, ParquetIO, conf, "run-4", numBuckets = 16)
+    assert(s4.bucketsPending == 1, s"reappeared bucket must re-extract: $s4")
+    assert(spark.read.parquet(Checkpoint.dataPath(out)).count() == pages.count())
+    pages.unpersist(); reduced.unpersist()
+  }
+
   test("manifest carries lineage columns") {
     val out = freshDir()
     val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001")
