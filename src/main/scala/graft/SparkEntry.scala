@@ -213,8 +213,18 @@ object SparkEntry {
     "t03_langid" -> ((s, dir) => {
       import graft.ops.TextStats._
       documents(s, dir).select(col("doc_id"), col("lang"),
-        langId(col("text")).as("lang_pred"),
-        fingerprint64(col("text")).as("fingerprint"))
+        langId(col("text")).as("lang_pred"))
+    }),
+    // fingerprint64 is xxhash64 (not reproducible in DuckDB), so the oracle
+    // checks the property that matters: the fingerprint is INJECTIVE on the
+    // corpus — distinct fingerprints == distinct normalized texts
+    "t04_fingerprint" -> ((s, dir) => {
+      import graft.ops.TextStats._
+      documents(s, dir).agg(
+        countDistinct(fingerprint64(col("text"))).as("distinct_fingerprints"),
+        countDistinct(regexp_replace(lower(col("text")), "\\s+", " "))
+          .as("distinct_norm_texts"),
+        count(lit(1)).as("docs"))
     }),
     "d01_exact_dup_groups" -> ((s, dir) => {
       documents(s, dir)
@@ -240,12 +250,17 @@ object SparkEntry {
       graft.ops.Dedup.ngramJaccard(cand, docs, "doc_id", "text")
         .where(col("jaccard") >= 0.5).orderBy("id_a", "id_b")
     }),
+    // clusters over EXACT-verified pairs (candidates → exact n-gram Jaccard
+    // ≥ 0.5 → connected components), so the DuckDB oracle can recompute the
+    // same components from exact all-pairs Jaccard + a recursive CTE
     "d05_dup_clusters" -> ((s, dir) => {
       val docs = documents(s, dir)
       val sigs = graft.ops.Dedup.signatures(docs, "doc_id", "text")
-      val pairs = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.5)
+      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
         .select("id_a", "id_b")
-      graft.ops.Dedup.clusters(pairs)
+      val verified = graft.ops.Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5).select("id_a", "id_b")
+      graft.ops.Dedup.clusters(verified)
         .groupBy("cluster").agg(count(lit(1)).as("members"))
         .orderBy("cluster")
     }),
@@ -335,6 +350,88 @@ object SparkEntry {
     "d01_exact_dup_groups" ->
       """SELECT sha256(text) AS content_hash, count(*) AS cnt
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // exact all-pairs word-3-gram Jaccard >= 0.5 (same tokenizer class and
+    // set semantics as Dedup.shingleSet); the Spark side reaches the same
+    // answer through MinHash-LSH candidates + exact verification — recall
+    // is exact on this corpus (all true pairs sit at J >= 0.9)
+    "d04_ngram_verified_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // connected components over the same exact-verified pair set, via a
+    // recursive transitive-closure CTE; cluster id = min member id
+    "d05_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+        |      len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
+        |SELECT cluster, count(*) AS members FROM (
+        |  SELECT node, min(lbl) AS cluster FROM reach GROUP BY node) q
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // same stopword-argmax heuristic, alphabetical tie-break, zh via CJK
+    // ratio, und on zero hits
+    "t03_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(text), '[^\p{L}]+') AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS cjk
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, lang, cjk,
+        |    len(list_filter(['der','die','und','das','nicht','von','sie','ist','des','sich','mit','dem','dass','er','ein'], w -> list_contains(toks, w))) AS h_de,
+        |    len(list_filter(['the','and','of','to','in','is','that','it','was','for','with','are','this','have','not'], w -> list_contains(toks, w))) AS h_en,
+        |    len(list_filter(['el','la','de','que','y','los','del','las','por','un','una','con','para','es','su'], w -> list_contains(toks, w))) AS h_es,
+        |    len(list_filter(['le','la','les','des','est','et','une','dans','qui','que','pour','sur','pas','au','avec'], w -> list_contains(toks, w))) AS h_fr
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk > 0.05 THEN 'zh'
+        |       WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM h""".stripMargin,
+    // injectivity check: xxhash64 itself is not reproducible in DuckDB, but
+    // "one fingerprint per distinct normalized text" is
+    "t04_fingerprint" ->
+      """SELECT
+        | count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g')) AS distinct_fingerprints,
+        | count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g')) AS distinct_norm_texts,
+        | count(*) AS docs FROM documents""".stripMargin,
     "s02_embedding_norms" ->
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2norm
