@@ -142,9 +142,26 @@ object SyntheticPages {
     * table page: structure carried by drawn lines, text x ragged per row —
     * extractable only via [[graft.pdf.RuleGrid]]. Cell text stays in the
     * golden (pdfplumber semantics: text and tables are independent views).
+    *
+    * The `% 4 == 1` slot (excluding the table slot) is an Identity-H Type0
+    * doc WITHOUT /ToUnicode: show strings are glyph ids at a +0x1000 offset
+    * from the codepoints, mapped only by the embedded TrueType cmap — the
+    * golden matches ONLY if [[graft.pdf.TrueTypeCmap]] reversal works (the
+    * BMP degrade path would emit U+10xx garbage).
     */
   private def pdfPage(docId: Long, words: Vector[String], lang: String): Spec = {
     val lines = words.grouped(8).map(_.mkString(" ")).toVector
+    if (docId % 4 == 1 && docId % 7 != 3 &&
+        lines.forall(_.forall(c => c >= ' ' && c <= 'ÿ'))) {
+      val ttf = MiniPdf.sfntWithCmap(
+        MiniPdf.cmapFormat4(Seq((0x20, 0xFF, 0x1020))), 3, 1)
+      val shows = lines.zipWithIndex.map { case (l, i) =>
+        (l.map(c => f"${c + 0x1000}%04X").mkString, 72, 720 - 14 * i)
+      }
+      return Spec(urlOf(docId), Epoch + docId * 1000L,
+        MiniPdf.buildType0Embedded(shows, ttf, padTo = 1024),
+        lines.mkString("\n"), lang)
+    }
     val pages = lines.grouped(10).toVector
     val textPages = pages.map(_.mkString("\n"))
     val streams0 = pages.map { pageLines =>

@@ -259,6 +259,15 @@ object Dedup {
     * and the driver, not the data, becomes the bottleneck. The convergence
     * check rides the same action that materializes the checkpoint.
     *
+    * Durability caveat: `localCheckpoint` stores blocks on executors, so an
+    * executor LOSS mid-computation fails the JOB (no lineage to recompute
+    * from) — the job is then re-run from its (deterministic) inputs. That is
+    * the right trade for an iterative batch stage: reliable `checkpoint` to
+    * DFS would pay a distributed write per round to survive a failure mode
+    * whose recovery (re-run) costs the same as the handful of rounds it
+    * protects. Callers needing exactly-once downstream should gate on job
+    * success (the Checkpoint manifest pattern), not on partial cluster state.
+    *
     * Returns (id, cluster) for every id that appears in `pairs`; singleton
     * docs never enter a pair, so callers union them back with
     * cluster = id if a total assignment is needed.

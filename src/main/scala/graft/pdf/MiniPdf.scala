@@ -162,6 +162,47 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Minimal sfnt carrying only a cmap table with one subtable (fixture
+    * font programs for [[TrueTypeCmap]]).
+    */
+  def sfntWithCmap(sub: Array[Byte], plat: Int, enc: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def w32(v: Int): Unit = { w16((v >> 16) & 0xFFFF); w16(v & 0xFFFF) }
+    w32(0x00010000); w16(1); w16(16); w16(0); w16(0) // offset table, 1 table
+    out.write("cmap".getBytes(ISO_8859_1)); w32(0); w32(28); w32(12 + sub.length)
+    w16(0); w16(1) // cmap version, 1 encoding record
+    w16(plat); w16(enc); w32(12) // subtable at cmap+12
+    out.write(sub)
+    out.toByteArray
+  }
+
+  /** Format-4 cmap subtable from (startChar, endChar, startGid) segments. */
+  def cmapFormat4(segs: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val all = segs :+ ((0xFFFF, 0xFFFF, 0))
+    val n = all.length
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    w16(4); w16(16 + 8 * n); w16(0)
+    w16(n * 2); w16(2); w16(0); w16(0)
+    all.foreach { case (_, e, _) => w16(e) }
+    w16(0)
+    all.foreach { case (s, _, _) => w16(s) }
+    all.foreach { case (s, _, g) => w16((g - s) & 0xFFFF) }
+    all.foreach(_ => w16(0))
+    out.toByteArray
+  }
+
+  /** Format-12 cmap subtable from (startChar, endChar, startGid) groups. */
+  def cmapFormat12(groups: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def w32(v: Int): Unit = { w16((v >> 16) & 0xFFFF); w16(v & 0xFFFF) }
+    w16(12); w16(0); w32(16 + 12 * groups.length); w32(0); w32(groups.length)
+    groups.foreach { case (s, e, g) => w32(s); w32(e); w32(g) }
+    out.toByteArray
+  }
+
   /** Single page whose catalog/pages/page dicts live inside a compressed
     * PDF 1.5 object stream (`/Type /ObjStm`, obj 6); only the content
     * stream (obj 5) and the container are direct objects — the shape a

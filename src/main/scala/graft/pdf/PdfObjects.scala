@@ -76,14 +76,18 @@ object PdfObjects {
     * broken or absent xref data.
     */
   def parseAll(bytes: Array[Byte]): Objects = {
-    val out = scanObjects(bytes)
+    val (out, scanOffsets) = scanObjects(bytes)
     val xref =
       try parseXrefChain(bytes)
       catch { case scala.util.control.NonFatal(_) => Map.empty[Int, XrefEntry] }
-    // type-1 entries: re-parse at the designated offset, newest section wins
+    // type-1 entries: authoritative offset. When it equals the offset the
+    // body scan already parsed the object at (the common, non-updated case)
+    // the scan result IS the xref result — skip the re-parse; PDFs only pay
+    // double parsing for objects an incremental update actually moved.
     xref.foreach {
       case (num, XrefEntry(1, off, _)) =>
-        parseObjectAt(bytes, off.toInt, num).foreach(v => out(num) = v)
+        if (!scanOffsets.get(num).contains(off.toInt))
+          parseObjectAt(bytes, off.toInt, num).foreach(v => out(num) = v)
       case (num, XrefEntry(0, _, _)) =>
         out.remove(num) // newest chain entry says deleted
       case _ =>
@@ -337,9 +341,13 @@ object PdfObjects {
     out.result()
   }
 
-  /** One pass over the raw bytes collecting `N G obj` bodies. */
-  private def scanObjects(bytes: Array[Byte]): mutable.Map[Int, PVal] = {
+  /** One pass over the raw bytes collecting `N G obj` bodies, plus the
+    * header offset each surviving object was parsed at (for xref-offset
+    * short-circuiting in [[parseAll]]).
+    */
+  private def scanObjects(bytes: Array[Byte]): (mutable.Map[Int, PVal], mutable.Map[Int, Int]) = {
     val out = mutable.Map.empty[Int, PVal]
+    val offs = mutable.Map.empty[Int, Int]
     val n = bytes.length
     var i = 0
     while (i + 3 <= n) {
@@ -364,14 +372,14 @@ object PdfObjects {
             try {
               val v = p.parseValue()
               val v2 = p.maybeStream(v)
-              if (objNum >= 0) out(objNum) = v2
+              if (objNum >= 0) { out(objNum) = v2; offs(objNum) = numStart }
             } catch { case _: Exception => /* skip malformed object */ }
           }
         }
       }
       i += 1
     }
-    out
+    (out, offs)
   }
 
   private def parseIntAscii(b: Array[Byte], s: Int, e: Int): Int = {

@@ -73,6 +73,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected only the generator spread, got $exchanges:\n$plan")
   }
 
+  test("dedup/similarity pipelines never fall back to cartesian joins") {
+    // the LSH family's whole point is avoiding all-pairs work; a missing
+    // join key or a non-equi condition would silently reintroduce O(n²)
+    Seq("d02_minhash_pairs", "d04_ngram_verified_dups", "s04_cosine_near_dups")
+      .foreach { q =>
+        val plan = physical(q)
+        assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q joins without keys:\n$plan")
+      }
+  }
+
   test("whole-stage codegen spans cover the oracle rollups") {
     val df = graft.SparkEntry.queries("q01_pricing_rollup")(spark, sf)
     df.collect() // finalize the AQE plan
