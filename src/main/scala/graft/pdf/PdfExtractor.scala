@@ -35,6 +35,11 @@ object PdfExtractor {
 
   def extract(bytes: Array[Byte]): Either[String, PdfDoc] = {
     val objs = parseAll(bytes)
+    // /Encrypt in the trailer chain: stream payloads are ciphertext (RC4/AES
+    // standard security handler) — refuse with a typed error rather than
+    // emit garbage. The reference reads such files only for metadata
+    // (pdf_info_adapter.py:18-53); decryption is an explicit non-goal.
+    if (objs.encrypted) return Left("pdf_encrypted")
     if (objs.byNum.isEmpty) return Left("pdf_no_objects")
 
     val pages = findPages(objs)

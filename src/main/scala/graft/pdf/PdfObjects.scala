@@ -24,7 +24,7 @@ object PdfObjects {
   case object PNull extends PVal
   final case class PStream(dict: PDict, raw: Array[Byte]) extends PVal
 
-  final class Objects(val byNum: Map[Int, PVal]) {
+  final class Objects(val byNum: Map[Int, PVal], val encrypted: Boolean = false) {
     def resolve(v: PVal): PVal = v match {
       case r: PRef => resolveRef(r, Set.empty)
       case x => x
@@ -77,9 +77,10 @@ object PdfObjects {
     */
   def parseAll(bytes: Array[Byte]): Objects = {
     val (out, scanOffsets) = scanObjects(bytes)
-    val xref =
-      try parseXrefChain(bytes)
-      catch { case scala.util.control.NonFatal(_) => Map.empty[Int, XrefEntry] }
+    val chain =
+      try parseXrefChainFull(bytes)
+      catch { case scala.util.control.NonFatal(_) => XrefChain(Map.empty, encrypted = false) }
+    val xref = chain.entries
     // type-1 entries: authoritative offset. When it equals the offset the
     // body scan already parsed the object at (the common, non-updated case)
     // the scan result IS the xref result — skip the re-parse; PDFs only pay
@@ -112,7 +113,7 @@ object PdfObjects {
           case _ =>
         }
       }
-    new Objects(out.toMap)
+    new Objects(out.toMap, chain.encrypted)
   }
 
   /** One xref entry: kind 0 = free (deleted), kind 1 = at byte offset `a`,
@@ -120,18 +121,29 @@ object PdfObjects {
     */
   final case class XrefEntry(kind: Int, a: Long, b: Int)
 
+  /** Chain-walk result: newest-wins object locations + whether any trailer
+    * (or xref-stream dict) carries /Encrypt — encrypted documents' stream
+    * payloads are ciphertext, so extraction must refuse rather than emit
+    * garbage.
+    */
+  final case class XrefChain(entries: Map[Int, XrefEntry], encrypted: Boolean)
+
   /** Newest-wins object locations from the `startxref` → `/Prev` chain
     * (with hybrid `/XRefStm` branches). Empty when no chain parses.
     */
-  def parseXrefChain(bytes: Array[Byte]): Map[Int, XrefEntry] = {
+  def parseXrefChain(bytes: Array[Byte]): Map[Int, XrefEntry] =
+    parseXrefChainFull(bytes).entries
+
+  def parseXrefChainFull(bytes: Array[Byte]): XrefChain = {
     val sx = lastIndexOfKeyword(bytes, "startxref")
-    if (sx < 0) return Map.empty
+    if (sx < 0) return XrefChain(Map.empty, encrypted = false)
     val p0 = new Parser(bytes, sx + "startxref".length)
     p0.skipWs()
     val first = readAsciiInt(bytes, p0.pos)
-    if (first < 0) return Map.empty
+    if (first < 0) return XrefChain(Map.empty, encrypted = false)
     val acc = mutable.Map.empty[Int, XrefEntry]
     val visited = mutable.Set.empty[Long]
+    var encrypted = false
     // newest section first; only the FIRST sighting of an object num counts
     val queue = mutable.Queue[Long](first)
     var guard = 0
@@ -140,13 +152,14 @@ object PdfObjects {
       val off = queue.dequeue()
       if (off >= 0 && off < bytes.length && visited.add(off)) {
         parseXrefSection(bytes, off.toInt, acc).foreach { trailer =>
+          if (trailer.m.contains("Encrypt")) encrypted = true
           // hybrid: /XRefStm holds newer info than /Prev — enqueue it first
           trailer.m.get("XRefStm").collect { case PNum(v) => queue.enqueue(v.toLong) }
           trailer.m.get("Prev").collect { case PNum(v) => queue.enqueue(v.toLong) }
         }
       }
     }
-    acc.toMap
+    XrefChain(acc.toMap, encrypted)
   }
 
   /** One xref section (classic table or xref stream) at `off`; fills `acc`

@@ -671,7 +671,7 @@ class PdfSpec extends AnyFunSuite {
 
     /** Classic xref section + trailer + startxref; one subsection per object. */
     def xrefClassic(entries: Map[Int, Int], free: Set[Int] = Set.empty,
-                    prev: Option[Int] = None): Int = {
+                    prev: Option[Int] = None, extraTrailer: String = ""): Int = {
       val at = size
       w("xref\n0 1\n0000000000 65535 f \n")
       entries.toSeq.sortBy(_._1).foreach { case (n, o) =>
@@ -679,7 +679,7 @@ class PdfSpec extends AnyFunSuite {
       }
       free.toSeq.sorted.foreach { n => w(s"$n 1\n"); w("0000000000 00001 f \n") }
       val p = prev.map(x => s" /Prev $x").getOrElse("")
-      w(s"trailer\n<< /Size 10 /Root 1 0 R$p >>\nstartxref\n$at\n%%EOF\n")
+      w(s"trailer\n<< /Size 10 /Root 1 0 R$p$extraTrailer >>\nstartxref\n$at\n%%EOF\n")
       at
     }
 
@@ -746,6 +746,16 @@ class PdfSpec extends AnyFunSuite {
     b.contentObj(5, "BT /F1 12 Tf 72 700 Td (version two) Tj ET")
     b.xrefStream(9, Map(5 -> offs(5)), prev = Some(x1))
     assert(text(b.bytes) == "version one")
+  }
+
+  test("encrypted pdf: /Encrypt in the trailer refuses with a typed error") {
+    val b = new IncrementalPdf
+    val offs = b.base("BT /F1 12 Tf 72 700 Td (secreto) Tj ET")
+    b.xrefClassic(offs, extraTrailer = " /Encrypt 9 0 R")
+    assert(PdfExtractor.extract(b.bytes) == Left("pdf_encrypted"))
+    // and through the kernel: a typed error row, never fabricated text
+    val r = Kernel.extractOne(b.bytes)
+    assert(r.status == "error" && r.error == "pdf_encrypted" && r.text.isEmpty)
   }
 
   test("broken startxref offset degrades to the body scan, never throws") {
