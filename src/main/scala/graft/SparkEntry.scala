@@ -301,14 +301,17 @@ object SparkEntry {
     // all-pairs DuckDB oracle meaningful. LSH candidates are exact-verified;
     // the planted pairs sit far above the banding recall floor.
     "s04_cosine_near_dups" -> ((s, dir) => {
-      val base = embeddings(s, dir).select(
-        col("vec_id").cast("long").as("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val perturbed = base.select(
-        (col("vec_id") + 100000L).as("vec_id"),
-        transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+      // base ∪ perturbed built in ONE scan (explode of a 2-element array) —
+      // a union of two projections would read the corpus twice
+      val both = embeddings(s, dir).select(explode(array(
+          struct(col("vec_id").cast("long").as("vec_id"),
+            col("embedding").cast("array<double>").as("embedding")),
+          struct((col("vec_id").cast("long") + 100000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"), x => x + lit(0.001))
+              .as("embedding")))).as("r"))
+        .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"))
       graft.ops.Similarity.cosineNearDupPairs(
-          base.unionAll(perturbed), "vec_id", "embedding", minCosine = 0.9)
+          both, "vec_id", "embedding", minCosine = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")
     }),

@@ -758,6 +758,24 @@ class PdfSpec extends AnyFunSuite {
     assert(r.status == "error" && r.error == "pdf_encrypted" && r.text.isEmpty)
   }
 
+  test("property: xref-chain parsing is total on corrupted incremental files") {
+    val b = new IncrementalPdf
+    val offs = b.base("BT /F1 12 Tf 72 700 Td (fuzz base) Tj ET")
+    val x1 = b.xrefClassic(offs)
+    val v2 = b.contentObj(5, "BT /F1 12 Tf 72 700 Td (fuzz two) Tj ET")
+    b.xrefClassic(Map(5 -> v2), prev = Some(x1))
+    val clean = b.bytes
+    val rnd = new scala.util.Random(23)
+    (1 to 200).foreach { _ =>
+      val mutated = clean.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      PdfExtractor.extract(mutated) // must never throw (Left is fine)
+      PdfObjects.parseXrefChainFull(mutated)
+    }
+  }
+
   test("broken startxref offset degrades to the body scan, never throws") {
     val b = new IncrementalPdf
     b.base("BT /F1 12 Tf 72 700 Td (still works) Tj ET")
