@@ -43,4 +43,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatches == 0)
     pages.unpersist()
   }
+
+  test("watermarked 1h windows finalize exactly once in append mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    def page(host: String, offMin: Long) =
+      graft.model.Page(s"https://$host/p/$offMin", new Timestamp(t0 + offMin * 60000),
+        Array[Byte](60), "", "en")
+
+    val mem = MemoryStream[graft.model.Page]
+    val out = CrawlStats.hostWindowCounts(mem.toDF())
+      .writeStream.format("memory").queryName("winc").outputMode("append").start()
+    try {
+      // 3 pages for a.com + 1 for b.com inside hour 0
+      mem.addData(page("a.com", 1), page("a.com", 20), page("a.com", 59), page("b.com", 5))
+      out.processAllAvailable()
+      // nothing finalized yet (watermark still inside hour 0)
+      assert(spark.table("winc").count() == 0)
+      // an event 4h later pushes the watermark (2h lateness) past hour 0
+      mem.addData(page("a.com", 240))
+      out.processAllAvailable()
+      val rows = spark.table("winc")
+        .select(col("host"), col("pages"), col("window.start"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("a.com", 3L), ("b.com", 1L)), s"got $rows")
+      // replays of old data beyond the watermark never re-emit the window
+      mem.addData(page("a.com", 2))
+      out.processAllAvailable()
+      assert(spark.table("winc").where(col("pages") === 3).count() == 1)
+    } finally out.stop()
+  }
+
+  test("flatMapGroupsWithState sessions close after the event-time gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200000L
+    def page(host: String, offMin: Long) =
+      graft.model.Page(s"https://$host/p/$offMin", new Timestamp(t0 + offMin * 60000),
+        Array[Byte](60), "", "en")
+
+    val mem = MemoryStream[graft.model.Page]
+    val out = CrawlStats.hostSessions(mem.toDF(), gapMinutes = 30, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(page("a.com", 0), page("a.com", 10), page("a.com", 25))
+      out.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // session still open
+      // OTHER-host traffic advances the event-time watermark past
+      // a.com's last-visit + gap → a.com's session times out and closes
+      // (a visit from a.com itself would have JOINED the session instead)
+      mem.addData(page("w.com", 180))
+      out.processAllAvailable()
+      mem.addData(page("w.com", 400))
+      out.processAllAvailable()
+      val sessions = spark.table("sess").as[CrawlStats.HostSession]
+        .collect().sortBy(_.start.getTime)
+      assert(sessions.nonEmpty, "no session closed")
+      val first = sessions.head
+      assert(first.host == "a.com" && first.pages == 3 &&
+        first.start.getTime == t0 && first.end.getTime == t0 + 25 * 60000,
+        s"got $first")
+    } finally out.stop()
+  }
 }
