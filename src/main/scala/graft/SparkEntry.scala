@@ -182,6 +182,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
     }),
+    // event-time windowing (the batch shape of CrawlStats.hostWindowCounts;
+    // epoch-aligned 1h buckets == DuckDB time_bucket)
+    "q15_hourly_events" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+    }),
     // top-k per group (row_number with deterministic tiebreak)
     "q13_top_customers_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy("c_nationkey")
@@ -527,6 +536,11 @@ object SparkEntry {
         | count(*) AS cnt,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+    "q15_hourly_events" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        | count(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q13_top_customers_per_nation" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, rk FROM (
         |  SELECT c_custkey, c_nationkey, c_acctbal,
