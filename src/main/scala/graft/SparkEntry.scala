@@ -273,6 +273,17 @@ object SparkEntry {
         .groupBy("cluster").agg(count(lit(1)).as("members"))
         .orderBy("cluster")
     }),
+    // asymmetric containment dedup (doc-inside-doc), exact-verified at
+    // candidate cardinality; the exact all-pairs oracle mirrors it
+    "d06_containment" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val sigs = graft.ops.Dedup.signatures(docs, "doc_id", "text")
+      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+        .select("id_a", "id_b")
+      graft.ops.Dedup.ngramContainment(cand, docs, "doc_id", "text")
+        .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.9)
+        .orderBy("id_a", "id_b")
+    }),
     "s01_cosine_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.where(col("vec_id") === 0)
@@ -383,6 +394,25 @@ object SparkEntry {
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // exact all-pairs n-gram containment (both directions) at the 0.9 gate
+    "d06_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks)
+        |SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS cont_a_in_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE / len(b.s) AS cont_b_in_a
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+        |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     // connected components over the same exact-verified pair set, via a
     // recursive transitive-closure CTE; cluster id = min member id
     "d05_dup_clusters" ->

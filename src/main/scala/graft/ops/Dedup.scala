@@ -241,6 +241,31 @@ object Dedup {
     inter.toDouble / (a.size + b.size - inter)
   }
 
+  /** ASYMMETRIC near-dup: containment(A⊆B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+    * Catches a document embedded inside a larger one — the quote/mirror/
+    * boilerplate-wrapper case that symmetric Jaccard dilutes below any
+    * threshold. Same pair-cardinality join shape as [[ngramJaccard]];
+    * returns both directions per pair.
+    */
+  def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String, n: Int = 3): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val ta = docs.select(col(idCol).cast("long").as("id_a"), col(textCol).as("text_a"))
+    val tb = docs.select(col(idCol).cast("long").as("id_b"), col(textCol).as("text_b"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.map { case (a, b, t1, t2) =>
+        val sa = shingleSet(t1, n); val sb = shingleSet(t2, n)
+        val inter = sa.intersect(sb).size
+        (a, b,
+          if (sa.isEmpty) 0.0 else inter.toDouble / sa.size,
+          if (sb.isEmpty) 0.0 else inter.toDouble / sb.size)
+      })
+      .toDF("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+  }
+
   // --- cluster assignment ------------------------------------------------
 
   /** Duplicate-cluster assignment: connected components over verified

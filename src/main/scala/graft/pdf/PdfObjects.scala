@@ -649,11 +649,16 @@ object PdfObjects {
     filters.zipWithIndex.foldLeft[Either[String, Array[Byte]]](Right(data)) {
       case (Right(d), (f, idx)) =>
         val pd = parmsPerFilter(idx)
-        def depredict(x: Array[Byte]): Either[String, Array[Byte]] =
-          if (parm(pd, "Predictor", 1) >= 10)
+        def depredict(x: Array[Byte]): Either[String, Array[Byte]] = {
+          val pred = parm(pd, "Predictor", 1)
+          if (pred >= 10)
             pngDepredict(x, parm(pd, "Columns", 1), parm(pd, "Colors", 1),
               parm(pd, "BitsPerComponent", 8))
-          else Right(x) // predictor 1 = none; 2 (TIFF) unseen in content streams
+          else if (pred == 2)
+            tiffDepredict(x, parm(pd, "Columns", 1), parm(pd, "Colors", 1),
+              parm(pd, "BitsPerComponent", 8))
+          else Right(x) // predictor 1 = none
+        }
         f match {
           case "FlateDecode" => inflate(d).flatMap(depredict)
           case "ASCIIHexDecode" => asciiHexDecode(d)
@@ -663,6 +668,31 @@ object PdfObjects {
         }
       case (l, _) => l
     }
+  }
+
+  /** Undo TIFF predictor 2 (PDF 1.7 §7.4.4.3): horizontal differencing —
+    * each byte-aligned component adds its left neighbor, rows independent.
+    * Only bpc = 8 differencing is supported (the form seen in PDF streams);
+    * other depths pass through unchanged (never corrupt what we cannot
+    * reverse).
+    */
+  def tiffDepredict(data: Array[Byte], columns: Int, colors: Int,
+                    bpc: Int): Either[String, Array[Byte]] = {
+    if (bpc != 8) return Right(data)
+    val rowLen = math.max(1, columns * colors)
+    val out = data.clone()
+    var row = 0
+    while (row * rowLen < out.length) {
+      val start = row * rowLen
+      val end = math.min(start + rowLen, out.length)
+      var i = start + colors
+      while (i < end) {
+        out(i) = ((out(i) & 0xFF) + (out(i - colors) & 0xFF)).toByte
+        i += 1
+      }
+      row += 1
+    }
+    Right(out)
   }
 
   /** Undo PNG row filters (predictors 10-15, PDF 1.7 §7.4.4.4 / RFC 2083):

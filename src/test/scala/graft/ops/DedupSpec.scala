@@ -71,6 +71,22 @@ class DedupSpec extends AnyFunSuite {
     assert(ver((1L, 3L)) < 0.2)
   }
 
+  test("ngramContainment: doc-inside-doc scores 1.0 where jaccard dilutes") {
+    val small = randomDoc(40)
+    val big = small + " " + randomDoc(200) // small is a prefix of big
+    val docs = Seq((1L, small), (2L, big), (3L, randomDoc(40))).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val c = Dedup.ngramContainment(pairs, docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    val (aInB, bInA) = c((1L, 2L))
+    assert(aInB == 1.0, s"prefix containment must be exact 1.0, got $aInB")
+    assert(bInA < 0.5) // asymmetry: big is NOT inside small
+    // symmetric jaccard would have missed this pair at any usual threshold
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) < 0.5)
+  }
+
   test("simhash: identical texts → distance 0; small edit → small distance") {
     val a = randomDoc(200)
     assert(Dedup.simhash64(a) == Dedup.simhash64(a))

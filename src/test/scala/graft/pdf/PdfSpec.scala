@@ -808,6 +808,38 @@ class PdfSpec extends AnyFunSuite {
     assert(dec.sameElements(rows.flatten), s"got ${dec.toSeq} want ${rows.flatten}")
   }
 
+  test("tiff predictor 2: horizontal differencing round-trips end-to-end") {
+    val content = "BT /F1 12 Tf 72 700 Td (tiff pred ok) Tj ET"
+    val bytes = content.getBytes(ISO_8859_1)
+    val cols = 10
+    // encode: per row, byte[i] -= byte[i-1] (colors=1, bpc=8)
+    val enc = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < bytes.length) {
+      val len = math.min(cols, bytes.length - i)
+      (0 until len).foreach { j =>
+        val prev = if (j == 0) 0 else bytes(i + j - 1) & 0xFF
+        enc.write(((bytes(i + j) & 0xFF) - prev) & 0xFF)
+      }
+      i += len
+    }
+    val packed = MiniPdf.deflate(enc.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${packed.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 2 /Columns $cols >> >>\nstream\n")
+    out.write(packed)
+    w("\nendstream\nendobj\n%%EOF\n")
+    while (out.size() < 1024) out.write('%')
+    assert(text(out.toByteArray) == "tiff pred ok")
+  }
+
   test("decodeparms array is filter-parallel, not first-entry-for-all") {
     // [/LZWDecode /FlateDecode] where ONLY the Flate entry carries the
     // Predictor: applying the first parms dict to every filter would skip
