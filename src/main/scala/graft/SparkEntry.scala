@@ -273,6 +273,22 @@ object SparkEntry {
         .groupBy("cluster").agg(count(lit(1)).as("members"))
         .orderBy("cluster")
     }),
+    // incremental dedup: NEW half of the corpus against the EXISTING half —
+    // cross-set banding only (no new×new / old×old pairs), exact-verified
+    "d07_incremental_dups" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val newDocs = docs.where(col("doc_id") % 2 === 0)
+      val oldDocs = docs.where(col("doc_id") % 2 === 1)
+      val cand = graft.ops.Dedup.minhashCandidatesAcross(
+          graft.ops.Dedup.signatures(newDocs, "doc_id", "text"),
+          graft.ops.Dedup.signatures(oldDocs, "doc_id", "text"),
+          minEstJaccard = 0.3)
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      graft.ops.Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a").as("new_id"), col("id_b").as("old_id"), col("jaccard"))
+        .orderBy("new_id", "old_id")
+    }),
     // asymmetric containment dedup (doc-inside-doc), exact-verified at
     // candidate cardinality; the exact all-pairs oracle mirrors it
     "d06_containment" -> ((s, dir) => {
@@ -394,6 +410,25 @@ object SparkEntry {
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // exact cross-half n-gram Jaccard >= 0.5 (even doc_ids = "new" crawl
+    // increment, odd = existing corpus)
+    "d07_incremental_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks)
+        |SELECT new_id, old_id, jaccard FROM (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS new_id, CAST(b.doc_id AS BIGINT) AS old_id,
+        |    len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1) p
+        |WHERE jaccard >= 0.5 ORDER BY new_id, old_id""".stripMargin,
     // exact all-pairs n-gram containment (both directions) at the 0.9 gate
     "d06_containment" ->
       """WITH toks AS (

@@ -139,6 +139,51 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** INCREMENTAL dedup: candidates between a NEW document set and an
+    * EXISTING corpus (the production shape — dedupe each crawl increment
+    * against the corpus without recomputing all-pairs). Same one-shuffle
+    * banding as [[minhashCandidates]], but buckets join across the two
+    * sets only: new×new and old×old pairs are never emitted. At 100 TB the
+    * old side's signatures are computed once and persisted; each increment
+    * pays only its own banding + the bucket join.
+    *
+    * Returns (new_id, old_id, est_jaccard).
+    */
+  def minhashCandidatesAcross(newSigs: DataFrame, oldSigs: DataFrame,
+                              p: MinHashParams = MinHashParams(),
+                              minEstJaccard: Double = 0.5,
+                              maxBucketSize: Int = 64): DataFrame = {
+    val spark = newSigs.sparkSession
+    import spark.implicits._
+    val r = p.rowsPerBand
+    def banded(sigs: DataFrame, side: Int) =
+      sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+        (0 until p.bands).iterator.map { b =>
+          var h = 0xCBF29CE484222325L
+          var i = b * r
+          while (i < (b + 1) * r) { h ^= sig(i); h *= 0x100000001B3L; i += 1 }
+          (b, h, id, side)
+        }
+      }.toDF("band", "bkey", "id", "side")
+
+    val pairs = banded(newSigs, 0).unionAll(banded(oldSigs, 1))
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(when(col("side") === 0, col("id")))).as("new_ids"),
+        sort_array(collect_list(when(col("side") === 1, col("id")))).as("old_ids"))
+      .where(size(col("new_ids")) > 0 && size(col("old_ids")) > 0 &&
+        size(col("new_ids")) + size(col("old_ids")) <= maxBucketSize)
+      .select(explode(col("new_ids")).as("new_id"), col("old_ids"))
+      .select(col("new_id"), explode(col("old_ids")).as("old_id"))
+      .distinct()
+
+    val sa = newSigs.toDF("new_id", "sig_a")
+    val sb = oldSigs.toDF("old_id", "sig_b")
+    pairs.join(sa, "new_id").join(sb, "old_id")
+      .select(col("new_id"), col("old_id"),
+        estJaccard(col("sig_a"), col("sig_b"), p.numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** fraction of equal signature slots — unbiased Jaccard estimator. */
   def estJaccard(sigA: org.apache.spark.sql.Column, sigB: org.apache.spark.sql.Column,
                  n: Int): org.apache.spark.sql.Column =

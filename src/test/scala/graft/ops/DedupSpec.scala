@@ -71,6 +71,23 @@ class DedupSpec extends AnyFunSuite {
     assert(ver((1L, 3L)) < 0.2)
   }
 
+  test("minhashCandidatesAcross: finds cross-set pairs only, never within-set") {
+    val a = randomDoc(150)
+    val b = randomDoc(150)
+    // new set: a + near-dup of b; old set: b + near-dup of a + noise
+    val newDocs = Seq((10L, a), (11L, mutate(b, 0.05))).toDF("doc_id", "text")
+    val oldDocs = Seq((20L, b), (21L, mutate(a, 0.05)), (22L, randomDoc(150)))
+      .toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidatesAcross(
+        Dedup.signatures(newDocs, "doc_id", "text"),
+        Dedup.signatures(oldDocs, "doc_id", "text"), minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((10L, 21L)), s"missed a≈a': $cand")
+    assert(cand.contains((11L, 20L)), s"missed b'≈b: $cand")
+    // every pair is (new, old) — ids never pair within one side
+    assert(cand.forall { case (n, o) => n < 20 && o >= 20 }, s"within-set pair: $cand")
+  }
+
   test("ngramContainment: doc-inside-doc scores 1.0 where jaccard dilutes") {
     val small = randomDoc(40)
     val big = small + " " + randomDoc(200) // small is a prefix of big
