@@ -235,6 +235,11 @@ object SparkEntry {
           .as("distinct_norm_texts"),
         count(lit(1)).as("docs"))
     }),
+    // the ship/drop verdict per document: dedup loser → low quality →
+    // unknown language → keep (reference quality threshold 60)
+    "t05_curation" -> ((s, dir) => {
+      graft.ops.Curation.curate(documents(s, dir)).orderBy("doc_id")
+    }),
     "d01_exact_dup_groups" -> ((s, dir) => {
       documents(s, dir)
         .groupBy(sha2(col("text").cast("binary"), 256).as("content_hash"))
@@ -502,6 +507,69 @@ object SparkEntry {
         |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM h""".stripMargin,
+    // composed verdict: dup losers from exact all-pairs Jaccard (min-id
+    // canonical keeps), quality and language from the t02/t03 expressions
+    "t05_curation" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks),
+        |losers AS (
+        |  SELECT DISTINCT id_b AS loser_id FROM (
+        |    SELECT CAST(b.doc_id AS BIGINT) AS id_b,
+        |      len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+        |  WHERE jaccard >= 0.5),
+        |feats AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    greatest(0.0,
+        |      least(length(text) / 500.0, 1.0) * 30.0
+        |      + least((CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE length(regexp_split_to_array(trim(text), '\s+')) END) / 80.0, 1.0) * 30.0
+        |      + 40.0
+        |      - least((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+        |              / greatest(length(text), 1.0) * 100.0, 20.0)
+        |      - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |              / greatest(length(text), 1.0) * 50.0, 10.0)
+        |      - least((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+        |              / greatest(length(text), 1.0) * 50.0, 10.0)) AS q,
+        |    regexp_split_to_array(lower(text), '[^\p{L}]+') AS ltoks,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS cjk
+        |  FROM documents),
+        |langed AS (
+        |  SELECT doc_id, q,
+        |    CASE WHEN cjk > 0.05 THEN 'zh'
+        |         WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |         ELSE 'fr' END AS l
+        |  FROM (
+        |    SELECT doc_id, q, cjk,
+        |      len(list_filter(['der','die','und','das','nicht','von','sie','ist','des','sich','mit','dem','dass','er','ein'], w -> list_contains(ltoks, w))) AS h_de,
+        |      len(list_filter(['the','and','of','to','in','is','that','it','was','for','with','are','this','have','not'], w -> list_contains(ltoks, w))) AS h_en,
+        |      len(list_filter(['el','la','de','que','y','los','del','las','por','un','una','con','para','es','su'], w -> list_contains(ltoks, w))) AS h_es,
+        |      len(list_filter(['le','la','les','des','est','et','une','dans','qui','que','pour','sur','pas','au','avec'], w -> list_contains(ltoks, w))) AS h_fr
+        |    FROM feats) h)
+        |SELECT f.doc_id,
+        |  CASE WHEN lo.loser_id IS NOT NULL THEN 'dup'
+        |       WHEN f.q < 60.0 THEN 'low_quality'
+        |       WHEN f.l = 'und' THEN 'lang'
+        |       ELSE 'keep' END AS verdict,
+        |  (CASE WHEN lo.loser_id IS NOT NULL THEN 'dup'
+        |        WHEN f.q < 60.0 THEN 'low_quality'
+        |        WHEN f.l = 'und' THEN 'lang'
+        |        ELSE 'keep' END = 'keep') AS keep
+        |FROM langed f LEFT JOIN losers lo ON f.doc_id = lo.loser_id
+        |ORDER BY f.doc_id""".stripMargin,
     // injectivity check: xxhash64 itself is not reproducible in DuckDB, but
     // "one fingerprint per distinct normalized text" is
     "t04_fingerprint" ->

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the keep/drop decision that composes
+  * the pipeline's quality, language and dedup signals into one labeled
+  * verdict per document — the last stage before a corpus ships to training.
+  *
+  * Rules (first failing rule names the drop reason, deterministic order):
+  *   1. `dup`         — the document loses exact n-gram dedup: some OTHER
+  *                      doc with a smaller id matches at Jaccard ≥ dupTau
+  *                      (min-id canonical keeps, all later members drop);
+  *   2. `low_quality` — qualityScore < minQuality (reference threshold 60,
+  *                      constants/__init__.py:12);
+  *   3. `lang`        — language ID is `und` (no stopword evidence);
+  *   4. `keep`.
+  *
+  * Scale shape: quality/lang are narrow column exprs; the dup-loser set is
+  * the LSH candidate pipeline at pair cardinality followed by one
+  * left-anti-style join back to the corpus — never an all-pairs pass.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+             dupTau: Double = 0.5, minQuality: Double = 60.0): DataFrame = {
+    val sigs = Dedup.signatures(docs, idCol, textCol)
+    val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+      .select("id_a", "id_b")
+    // verified pairs are emitted with id_a < id_b, so id_b is the loser
+    val losers = Dedup.ngramJaccard(cand, docs, idCol, textCol)
+      .where(col("jaccard") >= dupTau)
+      .select(col("id_b").as("loser_id")).distinct()
+
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextStats.qualityScore(col(textCol)).as("q"),
+        TextStats.langId(col(textCol)).as("l"))
+      .join(losers, col("doc_id") === col("loser_id"), "left")
+      .select(col("doc_id"),
+        when(col("loser_id").isNotNull, lit("dup"))
+          .when(col("q") < minQuality, lit("low_quality"))
+          .when(col("l") === "und", lit("lang"))
+          .otherwise(lit("keep")).as("verdict"))
+      .withColumn("keep", col("verdict") === "keep")
+  }
+}

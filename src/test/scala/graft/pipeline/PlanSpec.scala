@@ -76,7 +76,8 @@ class PlanSpec extends AnyFunSuite {
   test("dedup/similarity pipelines never fall back to cartesian joins") {
     // the LSH family's whole point is avoiding all-pairs work; a missing
     // join key or a non-equi condition would silently reintroduce O(n²)
-    Seq("d02_minhash_pairs", "d04_ngram_verified_dups", "s04_cosine_near_dups")
+    Seq("d02_minhash_pairs", "d04_ngram_verified_dups", "s04_cosine_near_dups",
+      "d06_containment", "d07_incremental_dups")
       .foreach { q =>
         val plan = physical(q)
         assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
