@@ -364,7 +364,123 @@ object SparkEntry {
     }),
   )
 
+  /** Unsigned HUGEINT literal list for oracles that re-derive JVM hashes. */
+  private def hugeList(a: Array[Long]): String =
+    a.map(v => s"CAST(${java.lang.Long.toUnsignedString(v)} AS HUGEINT)")
+      .mkString("[", ",", "]")
+
+  /** Shared SQL: doc_id → word-3-gram shingle FNV-64 hashes / token hashes
+    * (the exact `Dedup.fnv64` fold, mod-2^64 in HUGEINT).
+    */
+  private val FnvFold =
+    """list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |        list_transform(split(__S__, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      |      (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** d02 oracle: the FULL MinHash-LSH pipeline re-derived in SQL —
+    * shingle FNV hashes → 64 affine min-hashes (signed min via sign-bit
+    * flip; 64×64-bit modular multiply split into 32-bit halves so the
+    * 128-bit HUGEINT never overflows) → 16-band FNV bucket keys → bucket
+    * join (2..64 clamp) → slot-equality Jaccard estimate ≥ 0.5. Seeds are
+    * generated from Dedup's own arrays.
+    */
+  private def d02OracleSql: String = {
+    val (sa, sb) = graft.ops.Dedup.seeds(64)
+    val (al, bl) = (hugeList(sa), hugeList(sb))
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+       |  FROM toks
+       |), hashed AS (
+       |  SELECT doc_id, list_transform(s, sg -> ${FnvFold.replace("__S__", "sg")}) AS hs
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, 64), k ->
+       |      xor(list_reduce(list_transform(hs, h ->
+       |            xor(((((h // 4294967296) * $al[k]) % 18446744073709551616 * 4294967296)
+       |                   % 18446744073709551616
+       |                 + ((h % 4294967296) * $al[k]) % 18446744073709551616
+       |                 + $bl[k]) % 18446744073709551616,
+       |                CAST(9223372036854775808 AS HUGEINT))),
+       |          (x, y) -> least(x, y)),
+       |        CAST(9223372036854775808 AS HUGEINT))) AS sg
+       |  FROM hashed
+       |), banded AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_slice(sg, band * 4 + 1, band * 4 + 4)),
+       |      (acc, s) -> (xor(acc, s) * 1099511628211) % 18446744073709551616) AS bkey
+       |  FROM sig, (SELECT unnest(range(16)) AS band)
+       |), buckets AS (
+       |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
+       |  FROM banded GROUP BY band, bkey
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), pairs AS (
+       |  SELECT DISTINCT ia AS id_a, ib AS id_b
+       |  FROM buckets, unnest(ids) AS ta(ia), unnest(ids) AS tb(ib)
+       |  WHERE ia < ib
+       |)
+       |SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+       |  list_sum(list_transform(generate_series(1, 64),
+       |    k -> CASE WHEN sa.sg[k] = sb.sg[k] THEN 1 ELSE 0 END))::DOUBLE / 64 AS est_jaccard
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.id_a
+       |JOIN sig sb ON sb.doc_id = p.id_b
+       |WHERE list_sum(list_transform(generate_series(1, 64),
+       |    k -> CASE WHEN sa.sg[k] = sb.sg[k] THEN 1 ELSE 0 END))::DOUBLE / 64 >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** d03 oracle: SimHash re-derived in SQL — per-token FNV hashes → 64
+    * majority-vote bits → 4×16-bit chunk keys → bucket join (2..256 clamp)
+    * → popcount(xor) hamming ≤ 3.
+    */
+  private def d03OracleSql: String =
+    s"""WITH toksall AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS t
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, len(t) AS n,
+       |    list_transform(t, w -> ${FnvFold.replace("__S__", "w")}) AS hs
+       |  FROM toksall
+       |), sim AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(generate_series(0, 63), b ->
+       |      CASE WHEN 2 * len(list_filter(hs, h -> (h // (CAST(1 AS HUGEINT) << b)) % 2 = 1)) > n
+       |           THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END)) AS sh
+       |  FROM th
+       |), banded AS (
+       |  SELECT doc_id, sh, chunk, (sh // (CAST(1 AS HUGEINT) << (chunk * 16))) % 65536 AS ckey
+       |  FROM sim, (SELECT unnest(range(4)) AS chunk)
+       |), buckets AS (
+       |  SELECT chunk, ckey, list_sort(list({'id': doc_id, 'h': sh})) AS members
+       |  FROM banded GROUP BY chunk, ckey
+       |  HAVING count(*) BETWEEN 2 AND 256
+       |), pairs AS (
+       |  SELECT DISTINCT ma.id AS id_a, ma.h AS h_a, mb.id AS id_b, mb.h AS h_b
+       |  FROM buckets, unnest(members) AS ta(ma), unnest(members) AS tb(mb)
+       |  WHERE ma.id < mb.id
+       |)
+       |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       |  CAST(len(list_filter(generate_series(0, 63),
+       |    b -> (xor(h_a, h_b) // (CAST(1 AS HUGEINT) << b)) % 2 = 1)) AS INTEGER) AS hamming
+       |FROM pairs
+       |WHERE len(list_filter(generate_series(0, 63),
+       |    b -> (xor(h_a, h_b) // (CAST(1 AS HUGEINT) << b)) % 2 = 1)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "d02_minhash_pairs" -> d02OracleSql,
+    "d03_simhash_pairs" -> d03OracleSql,
     "t01_token_stats" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

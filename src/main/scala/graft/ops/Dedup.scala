@@ -75,6 +75,12 @@ object Dedup {
   private val SeedA: Array[Long] = Array.tabulate(256)(i => splitmix64(i * 2 + 1) | 1L)
   private val SeedB: Array[Long] = Array.tabulate(256)(i => splitmix64(i * 2 + 2))
 
+  /** The first `n` affine seeds, for oracles that re-derive the signature
+    * outside the JVM (SparkEntry's DuckDB MinHash oracle embeds these as
+    * literals generated from THIS array — they can never drift).
+    */
+  def seeds(n: Int): (Array[Long], Array[Long]) = (SeedA.take(n), SeedB.take(n))
+
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
