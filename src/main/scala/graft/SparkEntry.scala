@@ -362,6 +362,17 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("byte_len"), col("frames_sampled"))
         .orderBy("doc_id")
     }),
+    // the generator CONTRACT for the deterministic asset synthesis: WAV and
+    // video payload sizes/durations are pure splitmix64 functions of the id,
+    // which the oracle re-derives in SQL (PNG byte_len is encoder-dependent
+    // and stays gated by MultimodalSpec's decoded-pixel checks)
+    "m02_multimodal_meta" -> ((s, dir) => {
+      graft.ops.Multimodal.synthesize(documents(s, dir))
+        .where(col("kind") =!= "image")
+        .select(col("doc_id"), col("kind"),
+          length(col("payload")).as("byte_len"), col("duration_ms"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Unsigned HUGEINT literal list for oracles that re-derive JVM hashes. */
@@ -481,6 +492,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "d02_minhash_pairs" -> d02OracleSql,
     "d03_simhash_pairs" -> d03OracleSql,
+    // splitmix64 re-derived in HUGEINT SQL (32-bit-split modular multiplies)
+    "m02_multimodal_meta" ->
+      """WITH s0 AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 3 <> 0),
+        |s1 AS (SELECT id, (CAST(id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS x FROM s0),
+        |s2 AS (SELECT id, (((xor(x, x // 1073741824) // 4294967296) * 13787848793156543929) % 18446744073709551616 * 4294967296 % 18446744073709551616
+        |              + (xor(x, x // 1073741824) % 4294967296) * 13787848793156543929 % 18446744073709551616) % 18446744073709551616 AS x FROM s1),
+        |s3 AS (SELECT id, (((xor(x, x // 134217728) // 4294967296) * 10723151780598845931) % 18446744073709551616 * 4294967296 % 18446744073709551616
+        |              + (xor(x, x // 134217728) % 4294967296) * 10723151780598845931 % 18446744073709551616) % 18446744073709551616 AS x FROM s2),
+        |sm AS (SELECT id, xor(x, x // 2147483648) AS v FROM s3)
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN id % 3 = 1 THEN 44 + 2 * (400 + v % 1024)
+        |            ELSE 256 + v % 1024 END AS INTEGER) AS byte_len,
+        |  CAST(CASE WHEN id % 3 = 1 THEN ((400 + v % 1024) * 1000) // 8000
+        |            ELSE 2000 + (id % 30) * 1000 END AS INTEGER) AS duration_ms
+        |FROM sm ORDER BY doc_id""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
