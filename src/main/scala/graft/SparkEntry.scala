@@ -295,12 +295,18 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
     // asymmetric containment dedup (doc-inside-doc), exact-verified at
-    // candidate cardinality; the exact all-pairs oracle mirrors it
+    // candidate cardinality. Two candidate regimes, unioned: MinHash
+    // banding covers high-Jaccard pairs; the sampled-shingle inverted
+    // index covers small-in-large pairs whose tiny Jaccard symmetric
+    // banding structurally misses (a contained doc's sampled shingles are
+    // sampled in its container too).
     "d06_containment" -> ((s, dir) => {
       val docs = documents(s, dir)
       val sigs = graft.ops.Dedup.signatures(docs, "doc_id", "text")
       val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
         .select("id_a", "id_b")
+        .unionAll(graft.ops.Dedup.sampledShingleCandidates(docs, "doc_id", "text"))
+        .distinct()
       graft.ops.Dedup.ngramContainment(cand, docs, "doc_id", "text")
         .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.9)
         .orderBy("id_a", "id_b")
@@ -330,7 +336,10 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).collect()(0)
         .getSeq[Double](0).toArray
       val index = graft.ops.Similarity.buildIvf(emb, "vec_id", "embedding", numLists = 16)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      // deterministic per-sf path, overwritten each run (a fresh temp dir
+      // per invocation would leak a full index copy every bench round)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       graft.ops.Similarity.writeIvf(index, tmp)
       val loaded = graft.ops.Similarity.loadIvf(s, tmp)
       graft.ops.Similarity.ivfTopK(loaded, q, 10, nprobe = 12)
@@ -727,13 +736,17 @@ object SparkEntry {
     // exact top-10 (query vector included, cos(q,q)=1 ranks first): IVF at
     // nprobe=12/16 must reproduce it bit-exactly while scanning only the
     // probed lists
+    // the top-10 SET is selected on the EXACT cosine (inner LIMIT), like
+    // the Spark side — ordering by the rounded value could pick a
+    // different boundary row when two cosines differ only past 4 decimals
     "s03_ivf_topk" ->
-      """SELECT CAST(e.vec_id AS BIGINT) AS id,
-        | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
-        |   / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
-        |      * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))), 4) AS cos
-        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+      """SELECT id, round(cos, 4) AS cos FROM (
+        |  SELECT CAST(e.vec_id AS BIGINT) AS id,
+        |    list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |      / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))) AS cos
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY cos DESC, id LIMIT 10) t""".stripMargin,
     // exact all-pairs cosine >= 0.9 over the same augmented corpus the Spark
     // query builds (base ∪ +0.001-perturbed copies at vec_id+100000)
     "s04_cosine_near_dups" ->
@@ -750,13 +763,14 @@ object SparkEntry {
         |  FROM c a JOIN c b ON a.vec_id < b.vec_id) p
         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "s01_cosine_topk" ->
-      """SELECT e.vec_id,
-        | round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
-        |   / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
-        |      * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))), 4) AS cos
-        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |WHERE e.vec_id <> 0
-        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+      """SELECT vec_id, round(cos, 4) AS cos FROM (
+        |  SELECT e.vec_id,
+        |    list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |      / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))) AS cos
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY cos DESC, e.vec_id LIMIT 10) t""".stripMargin,
     "q01_pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty,

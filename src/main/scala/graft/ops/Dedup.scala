@@ -292,6 +292,38 @@ object Dedup {
     inter.toDouble / (a.size + b.size - inter)
   }
 
+  /** Candidate pairs for CONTAINMENT-style matching: documents sharing at
+    * least one SAMPLED shingle. Sampling (`hash % sampleMod == 0`) is a
+    * pure function of the shingle, so every sampled shingle of a contained
+    * document is sampled in its container too — recall for A⊆B is
+    * 1-(1-1/mod)^|sh(A)| regardless of |sh(B)|, where symmetric MinHash
+    * banding (recall ~ J^rows per band) structurally misses small-in-large
+    * pairs whose Jaccard is tiny. One inverted-index shuffle at
+    * sampled-shingle cardinality; degenerate buckets (boilerplate shingles
+    * shared by everything) are clamped and dropped, not silently kept.
+    */
+  def sampledShingleCandidates(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int = 3, sampleMod: Int = 8,
+                               maxBucketSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val posted = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        shingleSet(t, n).iterator
+          .filter(h => java.lang.Long.remainderUnsigned(h, sampleMod) == 0L)
+          .map(h => (h, id))
+      }
+      .toDF("h", "id")
+    posted.groupBy("h")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(explode(pairCombos(col("ids"))).as("pair"))
+      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+      .where(col("id_a") =!= col("id_b")) // a doc posts each shingle once, but be explicit
+      .distinct()
+  }
+
   /** ASYMMETRIC near-dup: containment(A⊆B) = |sh(A) ∩ sh(B)| / |sh(A)|.
     * Catches a document embedded inside a larger one — the quote/mirror/
     * boilerplate-wrapper case that symmetric Jaccard dilutes below any

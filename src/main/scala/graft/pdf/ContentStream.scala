@@ -79,8 +79,10 @@ object ContentStream {
 
     def commitPaint(): Unit = {
       pendSegs.foreach { case (x0, y0, x1, y1) =>
-        // only axis-parallel segments can be table rules
-        if (math.abs(y1 - y0) <= AxisTol || math.abs(x1 - x0) <= AxisTol)
+        // only axis-parallel, non-degenerate segments can be table rules —
+        // a close-op on an empty/stale subpath yields a zero-length segment
+        val dx = math.abs(x1 - x0); val dy = math.abs(y1 - y0)
+        if ((dy <= AxisTol || dx <= AxisTol) && math.max(dx, dy) > 0.5)
           rules += Rule(x0, y0, x1, y1)
       }
       pendRects.foreach { case (x, y, w, h) =>

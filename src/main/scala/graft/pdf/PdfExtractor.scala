@@ -77,16 +77,15 @@ object PdfExtractor {
     }
     val text = sb.toString
     // tables: drawn-rule grids first (pdfplumber "lines" strategy), then
-    // span-alignment detection over the spans OUTSIDE any rule grid — one
+    // span-alignment detection over the spans OUTSIDE every rule grid — one
     // table is detected by exactly one strategy
     val tables: Vector[TableRow] = pageResults.flatMap { case (_, ops) =>
-      RuleGrid.detect(ops.rules, ops.spans) match {
-        case Some((ruled, (x0, y0, x1, y1))) =>
-          val outside = ops.spans.filterNot(s =>
-            s.x >= x0 && s.x <= x1 && s.y >= y0 && s.y <= y1)
-          ruled +: TableGrid.detect(outside)
-        case None => TableGrid.detect(ops.spans)
-      }
+      val ruled = RuleGrid.detect(ops.rules, ops.spans)
+      val outside = ops.spans.filterNot(s => ruled.exists {
+        case (_, (x0, y0, x1, y1)) =>
+          s.x >= x0 && s.x <= x1 && s.y >= y0 && s.y <= y1
+      })
+      ruled.map(_._1) ++ TableGrid.detect(outside)
     }.toVector
 
     val pageCount = pages.length

@@ -144,6 +144,8 @@ object PdfObjects {
     val acc = mutable.Map.empty[Int, XrefEntry]
     val visited = mutable.Set.empty[Long]
     var encrypted = false
+    def merge(entries: Vector[(Int, XrefEntry)]): Unit =
+      entries.foreach { case (n, e) => if (!acc.contains(n)) acc(n) = e }
     // newest section first; only the FIRST sighting of an object num counts
     val queue = mutable.Queue[Long](first)
     var guard = 0
@@ -151,22 +153,36 @@ object PdfObjects {
       guard += 1
       val off = queue.dequeue()
       if (off >= 0 && off < bytes.length && visited.add(off)) {
-        parseXrefSection(bytes, off.toInt, acc).foreach { trailer =>
-          if (trailer.m.contains("Encrypt")) encrypted = true
-          // hybrid: /XRefStm holds newer info than /Prev — enqueue it first
-          trailer.m.get("XRefStm").collect { case PNum(v) => queue.enqueue(v.toLong) }
-          trailer.m.get("Prev").collect { case PNum(v) => queue.enqueue(v.toLong) }
+        val (trailerOpt, entries) = parseXrefSection(bytes, off.toInt)
+        trailerOpt match {
+          case Some(trailer) =>
+            if (trailer.m.contains("Encrypt")) encrypted = true
+            // hybrid (PDF 1.7 §7.5.8.4): the /XRefStm's entries take
+            // PRECEDENCE over this classic section's own — merge the
+            // stream section first, then the classic entries
+            trailer.m.get("XRefStm").collect { case PNum(v)
+                if v >= 0 && v < bytes.length && visited.add(v.toLong) =>
+              val (stmDict, stmEntries) = parseXrefSection(bytes, v.toInt)
+              if (stmDict.exists(_.m.contains("Encrypt"))) encrypted = true
+              merge(stmEntries)
+            }
+            merge(entries)
+            trailer.m.get("Prev").collect { case PNum(v) => queue.enqueue(v.toLong) }
+          case None => merge(entries)
         }
       }
     }
     XrefChain(acc.toMap, encrypted)
   }
 
-  /** One xref section (classic table or xref stream) at `off`; fills `acc`
-    * first-sighting-wins and returns the trailer/stream dict for chaining.
+  /** One xref section (classic table or xref stream) at `off`: returns the
+    * trailer/stream dict for chaining plus the section's entries in file
+    * order (the CALLER merges first-sighting-wins, so hybrid precedence
+    * can be decided there).
     */
-  private def parseXrefSection(bytes: Array[Byte], off: Int,
-                               acc: mutable.Map[Int, XrefEntry]): Option[PDict] = {
+  private def parseXrefSection(bytes: Array[Byte],
+                               off: Int): (Option[PDict], Vector[(Int, XrefEntry)]) = {
+    val acc = Vector.newBuilder[(Int, XrefEntry)]
     val p = new Parser(bytes, off)
     p.skipWs()
     if (p.matchesAt("xref")) {
@@ -178,7 +194,8 @@ object PdfObjects {
         p.skipWs()
         if (p.matchesAt("trailer")) {
           p.pos += 7
-          return p.parseValue() match { case d: PDict => Some(d); case _ => None }
+          val trailer = p.parseValue() match { case d: PDict => Some(d); case _ => None }
+          return (trailer, acc.result())
         }
         val start = readAsciiInt(bytes, p.pos)
         if (start < 0) { done = true }
@@ -201,8 +218,8 @@ object PdfObjects {
               else {
                 p.pos += 1
                 val num = start + k
-                if (!acc.contains(num))
-                  acc(num) = if (flag == 'n') XrefEntry(1, o, g) else XrefEntry(0, 0L, 0)
+                acc += (num -> (if (flag == 'n') XrefEntry(1, o, g)
+                                else XrefEntry(0, 0L, 0)))
                 k += 1
               }
             }
@@ -210,13 +227,13 @@ object PdfObjects {
           }
         }
       }
-      None
+      (None, acc.result())
     } else {
       // xref STREAM: `N G obj << /Type /XRef ... >> stream`
       val objs = new Objects(Map.empty) // xref-stream dict entries are direct
       p.parseValue(); p.parseValue() // object and generation numbers
       p.skipWs()
-      if (!p.matchesAt("obj")) return None
+      if (!p.matchesAt("obj")) return (None, Vector.empty)
       p.pos += 3
       p.maybeStream(p.parseValue()) match {
         case s: PStream if objs.name(s.dict.m.getOrElse("Type", PNull)).contains("XRef") =>
@@ -224,10 +241,10 @@ object PdfObjects {
             case Right(data) =>
               val w = objs.arr(s.dict.m.getOrElse("W", PNull))
                 .map(_.flatMap(v => objs.num(v)).map(_.toInt)).getOrElse(Vector.empty)
-              if (w.length < 2 || w.exists(x => x < 0 || x > 8)) return None
+              if (w.length < 2 || w.exists(x => x < 0 || x > 8)) return (None, Vector.empty)
               val w0 = w(0); val w1 = w(1); val w2 = if (w.length > 2) w(2) else 0
               val rowLen = w0 + w1 + w2
-              if (rowLen <= 0) return None
+              if (rowLen <= 0) return (None, Vector.empty)
               val size = objs.num(s.dict.m.getOrElse("Size", PNull)).map(_.toInt).getOrElse(0)
               val index: Vector[Int] = objs.arr(s.dict.m.getOrElse("Index", PNull))
                 .map(_.flatMap(v => objs.num(v)).map(_.toInt))
@@ -248,16 +265,15 @@ object PdfObjects {
                     val f2 = field(w0, w1, 0L)
                     val f3 = field(w0 + w1, w2, 0L).toInt
                     val num = start + k
-                    if (!acc.contains(num) && t >= 0 && t <= 2)
-                      acc(num) = XrefEntry(t, f2, f3)
+                    if (t >= 0 && t <= 2) acc += (num -> XrefEntry(t, f2, f3))
                     row += 1; k += 1
                   }
                 case _ =>
               }
-              Some(s.dict)
-            case Left(_) => None
+              (Some(s.dict), acc.result())
+            case Left(_) => (None, Vector.empty)
           }
-        case _ => None
+        case _ => (None, Vector.empty)
       }
     }
   }

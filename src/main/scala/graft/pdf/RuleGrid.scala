@@ -11,16 +11,21 @@ import ContentStream.{RawSpan, Rule}
   * text (cells that never x-align across rows) are invisible to span
   * quantization but exact here.
   *
-  * Frozen spec (deterministic, geometry-only):
-  *  - horizontal rules cluster by y, vertical rules by x, within the snap
-  *    tolerance (3.0, pdfplumber's snap_tolerance); cluster position = mean;
-  *  - a grid needs ≥2 horizontal and ≥2 vertical boundary clusters, ≥2
-  *    cells total (a plain 1×1 border box is not a table), and every rule
-  *    cluster must span ≥70% of the opposite axis' extent (stray underlines
-  *    or margin lines never combine into a phantom grid);
+  * Frozen spec (deterministic, geometry-only), pdfplumber-style
+  * intersection analysis:
+  *  - a horizontal and a vertical rule INTERSECT when they cross within
+  *    the snap tolerance; rules connect into components through shared
+  *    intersections — a stray footer separator or text underline crosses
+  *    nothing and drops out instead of vetoing the page's real grid;
+  *  - each component with ≥2 horizontal and ≥2 vertical boundary clusters
+  *    (positions clustered at snap tolerance 3, cluster = mean) and ≥2
+  *    cells is a table (a plain 1×1 border box is not);
   *  - cell (row, col) = spans whose (x, y) fall strictly inside the cell
-  *    bounds, joined with single spaces in (x, stream-order);
-  *  - rows ordered top→bottom (descending y), columns left→right;
+  *    bounds, joined with single spaces in (x, stream-order); spans are
+  *    bucketed in ONE pass (binary placement), not per-cell rescans;
+  *  - rows ordered top→bottom (descending y), columns left→right; multiple
+  *    disjoint grids on one page yield multiple tables, ordered by
+  *    (top y desc, left x asc);
   *  - confidence = non-empty cells / (rows × cols), same contract as
   *    [[TableGrid]] (markdown_generator.py:112-134 consumes it).
   *
@@ -31,54 +36,76 @@ object RuleGrid {
 
   /** pdfplumber snap_tolerance (reference README.md:368-379). */
   val SnapTol = 3.0
-  /** Each boundary rule must cover this share of the opposite extent. */
-  val MinSpanShare = 0.7
 
-  /** Detected table + its bounding box (x0, yBottom, x1, yTop), so the
+  /** Detected tables + bounding boxes (x0, yBottom, x1, yTop), so the
     * caller can exclude in-grid spans from span-alignment detection
     * (one table, one detection).
     */
   def detect(rules: Vector[Rule],
-             spans: Vector[RawSpan]): Option[(TableRow, (Double, Double, Double, Double))] = {
-    if (rules.length < 4) return None
-    val horiz = rules.filter(_.isHorizontal)
+             spans: Vector[RawSpan]): Vector[(TableRow, (Double, Double, Double, Double))] = {
+    if (rules.length < 4) return Vector.empty
+    // (position, extent lo, extent hi); degenerate zero-length marks from
+    // stale path state are dropped
+    val horiz = rules.filter(r => r.isHorizontal && math.abs(r.x1 - r.x0) > 1.0)
       .map(r => ((r.y0 + r.y1) / 2, math.min(r.x0, r.x1), math.max(r.x0, r.x1)))
-    val vert = rules.filterNot(_.isHorizontal)
+    val vert = rules.filter(r => !r.isHorizontal && math.abs(r.y1 - r.y0) > 1.0)
       .map(r => ((r.x0 + r.x1) / 2, math.min(r.y0, r.y1), math.max(r.y0, r.y1)))
-    if (horiz.length < 2 || vert.length < 2) return None
+    if (horiz.length < 2 || vert.length < 2) return Vector.empty
 
-    val yClusters = cluster(horiz) // (pos, lo, hi) per cluster
-    val xClusters = cluster(vert)
-    if (yClusters.length < 2 || xClusters.length < 2) return None
+    // union-find over h-rules (ids 0..H) ∪ v-rules (ids H..H+V) connected
+    // by crossings within the snap tolerance
+    val hN = horiz.length
+    val parent = Array.tabulate(hN + vert.length)(identity)
+    def find(a: Int): Int = { var x = a; while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }; x }
+    def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) parent(ra) = rb }
+    var i = 0
+    while (i < hN) {
+      val (hy, hx0, hx1) = horiz(i)
+      var j = 0
+      while (j < vert.length) {
+        val (vx, vy0, vy1) = vert(j)
+        if (vx >= hx0 - SnapTol && vx <= hx1 + SnapTol &&
+            hy >= vy0 - SnapTol && hy <= vy1 + SnapTol) union(i, hN + j)
+        j += 1
+      }
+      i += 1
+    }
 
-    val xs = xClusters.map(_._1).sorted
-    val ys = yClusters.map(_._1).sorted(Ordering[Double].reverse) // top first
+    val byComponent = (horiz.indices.map(i => (find(i), Left(horiz(i)))) ++
+      vert.indices.map(j => (find(hN + j), Right(vert(j)))))
+      .groupBy(_._1).values
+
+    byComponent.flatMap { members =>
+      val hs = members.collect { case (_, Left(h)) => h }.toVector
+      val vs = members.collect { case (_, Right(v)) => v }.toVector
+      buildTable(hs, vs, spans)
+    }.toVector.sortBy { case (_, (x0, _, _, yTop)) => (-yTop, x0) }
+  }
+
+  private def buildTable(hs: Vector[(Double, Double, Double)],
+                         vs: Vector[(Double, Double, Double)],
+                         spans: Vector[RawSpan]): Option[(TableRow, (Double, Double, Double, Double))] = {
+    if (hs.length < 2 || vs.length < 2) return None
+    val ys = cluster(hs.map(_._1)).sorted(Ordering[Double].reverse) // top first
+    val xs = cluster(vs.map(_._1)).sorted
     val rows = ys.length - 1
     val cols = xs.length - 1
-    if (rows * cols < 2) return None
+    if (rows < 1 || cols < 1 || rows * cols < 2) return None
 
-    // extent sanity: every horizontal boundary spans most of the x-range
-    // and every vertical boundary most of the y-range
-    val xSpan = xs.last - xs.head
-    val ySpan = ys.head - ys.last
-    if (xSpan <= 0 || ySpan <= 0) return None
-    val hOk = yClusters.forall { case (_, lo, hi) =>
-      math.min(hi, xs.last) - math.max(lo, xs.head) >= MinSpanShare * xSpan
+    // one-pass span bucketing: place each span into its (row, col) cell
+    val cells = Array.fill(rows, cols)(Vector.newBuilder[(RawSpan, Int)])
+    spans.zipWithIndex.foreach { case (s, idx) =>
+      val c = interval(xs, s.x)
+      if (c >= 0) {
+        val r = intervalDesc(ys, s.y)
+        if (r >= 0) cells(r)(c) += ((s, idx))
+      }
     }
-    val vOk = xClusters.forall { case (_, lo, hi) =>
-      math.min(hi, ys.head) - math.max(lo, ys.last) >= MinSpanShare * ySpan
-    }
-    if (!hOk || !vOk) return None
-
     var nonEmpty = 0
-    val data: Vector[Vector[String]] = (0 until rows).toVector.map { j =>
-      val yTop = ys(j); val yBot = ys(j + 1)
-      (0 until cols).toVector.map { i =>
-        val x0 = xs(i); val x1 = xs(i + 1)
-        val members = spans.zipWithIndex.filter { case (s, _) =>
-          s.x >= x0 && s.x < x1 && s.y > yBot && s.y < yTop
-        }
-        val cell = members.sortBy { case (s, idx) => (s.x, idx) }
+    val data: Vector[Vector[String]] = (0 until rows).toVector.map { r =>
+      (0 until cols).toVector.map { c =>
+        val cell = cells(r)(c).result()
+          .sortBy { case (s, idx) => (s.x, idx) }
           .map(_._1.text).mkString(" ")
         if (cell.nonEmpty) nonEmpty += 1
         cell
@@ -89,26 +116,41 @@ object RuleGrid {
     Some((TableRow(data, conf), (xs.head, ys.last, xs.last, ys.head)))
   }
 
-  /** Single-linkage 1-D clustering within SnapTol; returns
-    * (mean position, extent lo, extent hi) per cluster.
-    */
-  private def cluster(items: Vector[(Double, Double, Double)]): Vector[(Double, Double, Double)] = {
-    if (items.isEmpty) return Vector.empty
-    val sorted = items.sortBy(_._1)
-    val out = Vector.newBuilder[(Double, Double, Double)]
-    var posSum = sorted.head._1; var n = 1
-    var last = sorted.head._1
-    var lo = sorted.head._2; var hi = sorted.head._3
-    sorted.tail.foreach { case (p, l, h) =>
-      if (p - last <= SnapTol) {
-        posSum += p; n += 1; last = p
-        lo = math.min(lo, l); hi = math.max(hi, h)
-      } else {
-        out += ((posSum / n, lo, hi))
-        posSum = p; n = 1; last = p; lo = l; hi = h
-      }
+  /** Index i with xs(i) <= v < xs(i+1) over ascending bounds, -1 outside. */
+  private def interval(xs: Vector[Double], v: Double): Int = {
+    if (v < xs.head || v >= xs.last) return -1
+    var lo = 0; var hi = xs.length - 2
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (xs(mid) <= v) lo = mid else hi = mid - 1
     }
-    out += ((posSum / n, lo, hi))
+    lo
+  }
+
+  /** Index j with ys(j) > v > ys(j+1) over DESCENDING bounds, -1 outside
+    * (strict: a baseline exactly on a rule belongs to no cell).
+    */
+  private def intervalDesc(ys: Vector[Double], v: Double): Int = {
+    if (v >= ys.head || v <= ys.last) return -1
+    var lo = 0; var hi = ys.length - 2
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (ys(mid) > v) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Single-linkage 1-D clustering within SnapTol; cluster = mean. */
+  private def cluster(items: Vector[Double]): Vector[Double] = {
+    if (items.isEmpty) return Vector.empty
+    val sorted = items.sorted
+    val out = Vector.newBuilder[Double]
+    var sum = sorted.head; var n = 1; var last = sorted.head
+    sorted.tail.foreach { p =>
+      if (p - last <= SnapTol) { sum += p; n += 1; last = p }
+      else { out += sum / n; sum = p; n = 1; last = p }
+    }
+    out += sum / n
     out.result()
   }
 }

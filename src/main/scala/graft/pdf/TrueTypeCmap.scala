@@ -68,14 +68,16 @@ object TrueTypeCmap {
     }
     if (best < 0) return Map.empty
 
-    // forward map: lowest codepoint per glyph wins
+    // forward map: lowest codepoint per glyph wins. `count` is an
+    // ITERATION budget, not an accepted-mapping count — a hostile cmap
+    // whose entries all fail validation must still terminate.
     val gidToCp = scala.collection.mutable.HashMap.empty[Int, Int]
     var count = 0
     def put(cp: Int, gid: Int): Unit = {
+      count += 1
       if (gid != 0 && cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) {
         val cur = gidToCp.getOrElse(gid, Int.MaxValue)
         if (cp < cur) gidToCp(gid) = cp
-        count += 1
       }
     }
 

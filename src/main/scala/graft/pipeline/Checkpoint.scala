@@ -83,13 +83,23 @@ object Checkpoint {
     val pendingBuckets = pending.map(_._1).toSet
 
     // input DRIFT the pending check cannot see: a bucket committed earlier
-    // whose rows are now entirely GONE from the input. Its stale data
-    // partition is dropped and a tombstone appended (data-then-manifest,
-    // same crash ordering as the commit path) so dataPath never serves
-    // rows with no corresponding input.
-    val staleBuckets = committed.keySet.diff(current.map(_._1).toSet).toSeq.sorted
+    // whose rows are now entirely GONE from the input.
+    //
+    //  - An EMPTY input is treated as an upstream failure, not as "every
+    //    row was deleted": deletion needs positive evidence (a non-empty
+    //    input missing the bucket), otherwise a transient 0-row read would
+    //    wipe the whole output.
+    //  - Ordering is manifest-FIRST (claim the deletion), then delete the
+    //    data: a crash in between leaves a tombstoned-but-present bucket,
+    //    which the re-clean below removes on the next run. The commit path
+    //    is the opposite (data-then-manifest) because there the benign
+    //    crash artifact is orphan data, here it would be a manifest that
+    //    still claims a commit for data we already deleted.
+    val currentBuckets = current.map(_._1).toSet
+    val staleBuckets =
+      if (current.isEmpty) Nil
+      else committed.keySet.diff(currentBuckets).toSeq.sorted
     if (staleBuckets.nonEmpty) {
-      io.deletePartitions(spark, dataPath(outDir), "bucket", staleBuckets)
       val tomb = staleBuckets.map(b => (b, 0L, 0L, 0L))
         .toDF("bucket", "input_fingerprint", "rows_in", "bytes_in")
         .withColumn("rows_out", lit(0L))
@@ -97,6 +107,13 @@ object Checkpoint {
         .withColumn("committed_seq", lit(System.currentTimeMillis()))
       io.write(tomb, manifestPath(outDir), SaveMode.Append)
     }
+    // re-clean: every latest-tombstoned bucket (incl. ones just written and
+    // any whose delete crashed mid-flight last run) — idempotent and
+    // bounded by tombstone cardinality
+    val tombstoned = latestRows.collect { case (b, (_, rowsIn)) if rowsIn == 0 => b }
+    val toClean = (staleBuckets ++ tombstoned).distinct.filterNot(currentBuckets)
+    if (toClean.nonEmpty)
+      io.deletePartitions(spark, dataPath(outDir), "bucket", toClean.sorted)
 
     if (pendingBuckets.nonEmpty) {
       val todo = pages

@@ -65,10 +65,13 @@ object Charsets {
       if (tag < 0) return None
       val close = window.indexOf('>', tag)
       val end = if (close < 0) window.length else close
-      val idx = window.indexOf("charset", tag)
-      if (idx >= 0 && idx < end) {
+      // try every charset occurrence inside this tag's bounds — the first
+      // may belong to another attribute (data-charset-mode="...")
+      var idx = window.indexOf("charset", tag)
+      while (idx >= 0 && idx < end) {
         val found = parseCharsetValue(window, idx + "charset".length, end)
         if (found.isDefined) return found
+        idx = window.indexOf("charset", idx + 1)
       }
       from = tag + "<meta".length
     }

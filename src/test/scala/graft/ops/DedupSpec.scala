@@ -88,6 +88,21 @@ class DedupSpec extends AnyFunSuite {
     assert(cand.forall { case (n, o) => n < 20 && o >= 20 }, s"within-set pair: $cand")
   }
 
+  test("sampledShingleCandidates surfaces small-in-large pairs MinHash misses") {
+    val small = randomDoc(40)
+    val big = small + " " + randomDoc(400) // jaccard ~ 0.09: invisible to banding
+    val docs = Seq((1L, small), (2L, big), (3L, randomDoc(40))).toDF("doc_id", "text")
+    val cand = Dedup.sampledShingleCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"contained pair missed: $cand")
+    // end-to-end: the containment operator confirms it at 1.0
+    val c = Dedup.ngramContainment(
+        Dedup.sampledShingleCandidates(docs, "doc_id", "text"),
+        docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(c((1L, 2L)) == 1.0)
+  }
+
   test("ngramContainment: doc-inside-doc scores 1.0 where jaccard dilutes") {
     val small = randomDoc(40)
     val big = small + " " + randomDoc(200) // small is a prefix of big

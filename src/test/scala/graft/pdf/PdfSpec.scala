@@ -684,7 +684,8 @@ class PdfSpec extends AnyFunSuite {
     }
 
     /** PDF 1.5 xref STREAM section (W [1 4 2], Flate) + startxref. */
-    def xrefStream(objNum: Int, entries: Map[Int, Int], prev: Option[Int] = None): Int = {
+    def xrefStream(objNum: Int, entries: Map[Int, Int], prev: Option[Int] = None,
+                   standalone: Boolean = true): Int = {
       val at = size
       val rows = entries.toSeq.sortBy(_._1)
       val data = new java.io.ByteArrayOutputStream()
@@ -700,7 +701,8 @@ class PdfSpec extends AnyFunSuite {
       w(s"$objNum 0 obj\n<< /Type /XRef /Size 10 /W [ 1 4 2 ] /Index [ $index ] " +
         s"/Filter /FlateDecode /Length ${packed.length} /Root 1 0 R$p >>\nstream\n")
       out.write(packed)
-      w("\nendstream\nendobj\nstartxref\n" + at + "\n%%EOF\n")
+      w("\nendstream\nendobj\n")
+      if (standalone) w("startxref\n" + at + "\n%%EOF\n")
       at
     }
 
@@ -746,6 +748,40 @@ class PdfSpec extends AnyFunSuite {
     b.contentObj(5, "BT /F1 12 Tf 72 700 Td (version two) Tj ET")
     b.xrefStream(9, Map(5 -> offs(5)), prev = Some(x1))
     assert(text(b.bytes) == "version one")
+  }
+
+  test("hybrid /XRefStm entries take precedence over the classic section") {
+    // the newest CLASSIC section still lists obj 5 at the stale v1 offset,
+    // but its /XRefStm maps 5 to v2 — PDF 1.7 §7.5.8.4: the stream wins
+    val b = new IncrementalPdf
+    val offs = b.base("BT /F1 12 Tf 72 700 Td (version one) Tj ET")
+    val v2 = b.contentObj(5, "BT /F1 12 Tf 72 700 Td (version two) Tj ET")
+    val xs = b.xrefStream(9, Map(5 -> v2), standalone = false)
+    b.xrefClassic(Map(5 -> offs(5)), extraTrailer = s" /XRefStm $xs")
+    assert(text(b.bytes) == "version two")
+  }
+
+  test("ruled-grid: stray footer line and underline do not veto the grid") {
+    val grid = MiniPdf.ruledGridStream(
+      Seq(Seq("a", "b"), Seq("c", "d")), Seq(72, 212),
+      jitter = (r, c) => (r * 11 + c) % 13)
+    // a short underline near the text and a full-width footer separator,
+    // both crossing no vertical rule → they must drop out, not veto
+    val strays = "80 500 m 130 500 l S\n40 60 m 560 60 l S\n"
+    val doc = PdfExtractor.extract(MiniPdf.build(Seq(grid + "\n" + strays))).toOption.get
+    assert(doc.tables.map(_.data).contains(Seq(Seq("a", "b"), Seq("c", "d"))),
+      s"stray rules vetoed the grid: ${doc.tables.map(_.data)}")
+  }
+
+  test("ruled-grid: two disjoint grids on one page become two tables") {
+    val g1 = MiniPdf.ruledGridStream(Seq(Seq("a", "b"), Seq("c", "d")), Seq(72, 212),
+      topY = 700, jitter = (r, c) => (r * 7 + c) % 11)
+    val g2 = MiniPdf.ruledGridStream(Seq(Seq("x", "y"), Seq("z", "w")), Seq(72, 212),
+      topY = 400, jitter = (r, c) => (r * 5 + c) % 9)
+    val doc = PdfExtractor.extract(MiniPdf.build(Seq(g1 + "\n" + g2))).toOption.get
+    assert(doc.tables.map(_.data) ==
+      Seq(Seq(Seq("a", "b"), Seq("c", "d")), Seq(Seq("x", "y"), Seq("z", "w"))),
+      s"got ${doc.tables.map(_.data)}")
   }
 
   test("encrypted pdf: /Encrypt in the trailer refuses with a typed error") {

@@ -111,6 +111,21 @@ class CheckpointSpec extends AnyFunSuite {
     pages.unpersist(); reduced.unpersist()
   }
 
+  test("EMPTY input is an upstream failure, not a mass deletion") {
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val out = freshDir()
+    Checkpoint.run(pages, out, ParquetIO, conf, "run-1", numBuckets = 16)
+    val before = spark.read.parquet(Checkpoint.dataPath(out)).count()
+    val mRows = spark.read.parquet(Checkpoint.manifestPath(out)).count()
+
+    Checkpoint.run(pages.limit(0), out, ParquetIO, conf, "run-empty", numBuckets = 16)
+    assert(spark.read.parquet(Checkpoint.dataPath(out)).count() == before,
+      "empty input must not delete committed data")
+    assert(spark.read.parquet(Checkpoint.manifestPath(out)).count() == mRows,
+      "empty input must not tombstone")
+    pages.unpersist()
+  }
+
   test("manifest carries lineage columns") {
     val out = freshDir()
     val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001")
