@@ -517,16 +517,17 @@ object SparkEntry {
         |  CAST(CASE WHEN id % 3 = 1 THEN ((400 + v % 1024) * 1000) // 8000
         |            ELSE 2000 + (id % 30) * 1000 END AS INTEGER) AS duration_ms
         |FROM sm ORDER BY doc_id""".stripMargin,
+    // INTEGER casts: Spark length()/size() are int32 — match the width
     "t01_token_stats" ->
       """SELECT doc_id,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS token_count_ws,
-        | length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token_count_bpe,
-        | length(text) AS char_len,
-        | length(text) - length(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS space_cnt,
-        | length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
-        | length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct_cnt,
-        | length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_cnt
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS token_count_ws,
+        | CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS token_count_bpe,
+        | CAST(length(text) AS INTEGER) AS char_len,
+        | CAST(length(text) - length(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS INTEGER) AS space_cnt,
+        | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS digit_cnt,
+        | CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS INTEGER) AS punct_cnt,
+        | CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INTEGER) AS upper_cnt
         |FROM documents""".stripMargin,
     "t02_quality" ->
       """SELECT doc_id, round(
@@ -781,9 +782,9 @@ object SparkEntry {
     "q03_click_users" ->
       "SELECT user_id, count(*) AS cnt FROM events WHERE event_type = 'click' GROUP BY user_id",
     "q04_doc_stats" ->
-      """SELECT doc_id, n_chars, length(text) AS text_len,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS word_count
+      """SELECT doc_id, n_chars, CAST(length(text) AS INTEGER) AS text_len,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS word_count
         |FROM documents""".stripMargin,
     "q05_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1",
@@ -832,7 +833,7 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q13_top_customers_per_nation" ->
-      """SELECT c_custkey, c_nationkey, c_acctbal, rk FROM (
+      """SELECT c_custkey, c_nationkey, c_acctbal, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT c_custkey, c_nationkey, c_acctbal,
         |         row_number() OVER (PARTITION BY c_nationkey
         |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
