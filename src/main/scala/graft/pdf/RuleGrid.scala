@@ -137,7 +137,7 @@ object RuleGrid {
       val mid = (lo + hi + 1) / 2
       if (ys(mid) > v) lo = mid else hi = mid - 1
     }
-    lo
+    if (v > ys(lo + 1)) lo else -1 // exactly ON an interior rule: no cell
   }
 
   /** Single-linkage 1-D clustering within SnapTol; cluster = mean. */
