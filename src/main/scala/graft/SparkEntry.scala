@@ -256,23 +256,25 @@ object SparkEntry {
       graft.ops.Dedup.simhashCandidates(hashes, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    // one tokenize pass: the persisted shingle sets feed the signatures AND
+    // the pair verification (previously each pair re-tokenized both sides)
     "d04_ngram_verified_dups" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val sigs = graft.ops.Dedup.signatures(docs, "doc_id", "text")
-      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
+      val cand = graft.ops.Dedup.minhashCandidates(
+          graft.ops.Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
         .select("id_a", "id_b")
-      graft.ops.Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+      graft.ops.Dedup.ngramJaccardSets(cand, sh)
         .where(col("jaccard") >= 0.5).orderBy("id_a", "id_b")
     }),
     // clusters over EXACT-verified pairs (candidates → exact n-gram Jaccard
     // ≥ 0.5 → connected components), so the DuckDB oracle can recompute the
     // same components from exact all-pairs Jaccard + a recursive CTE
     "d05_dup_clusters" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val sigs = graft.ops.Dedup.signatures(docs, "doc_id", "text")
-      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
+      val cand = graft.ops.Dedup.minhashCandidates(
+          graft.ops.Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
         .select("id_a", "id_b")
-      val verified = graft.ops.Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+      val verified = graft.ops.Dedup.ngramJaccardSets(cand, sh)
         .where(col("jaccard") >= 0.5).select("id_a", "id_b")
       graft.ops.Dedup.clusters(verified)
         .groupBy("cluster").agg(count(lit(1)).as("members"))
@@ -281,15 +283,13 @@ object SparkEntry {
     // incremental dedup: NEW half of the corpus against the EXISTING half —
     // cross-set banding only (no new×new / old×old pairs), exact-verified
     "d07_incremental_dups" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val newDocs = docs.where(col("doc_id") % 2 === 0)
-      val oldDocs = docs.where(col("doc_id") % 2 === 1)
+      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
       val cand = graft.ops.Dedup.minhashCandidatesAcross(
-          graft.ops.Dedup.signatures(newDocs, "doc_id", "text"),
-          graft.ops.Dedup.signatures(oldDocs, "doc_id", "text"),
+          graft.ops.Dedup.signaturesFromSets(sh.where(col("id") % 2 === 0)),
+          graft.ops.Dedup.signaturesFromSets(sh.where(col("id") % 2 === 1)),
           minEstJaccard = 0.3)
         .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-      graft.ops.Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+      graft.ops.Dedup.ngramJaccardSets(cand, sh)
         .where(col("jaccard") >= 0.5)
         .select(col("id_a").as("new_id"), col("id_b").as("old_id"), col("jaccard"))
         .orderBy("new_id", "old_id")
@@ -301,13 +301,13 @@ object SparkEntry {
     // banding structurally misses (a contained doc's sampled shingles are
     // sampled in its container too).
     "d06_containment" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val sigs = graft.ops.Dedup.signatures(docs, "doc_id", "text")
-      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
+      val cand = graft.ops.Dedup.minhashCandidates(
+          graft.ops.Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
         .select("id_a", "id_b")
-        .unionAll(graft.ops.Dedup.sampledShingleCandidates(docs, "doc_id", "text"))
+        .unionAll(graft.ops.Dedup.sampledShingleCandidatesFromSets(sh))
         .distinct()
-      graft.ops.Dedup.ngramContainment(cand, docs, "doc_id", "text")
+      graft.ops.Dedup.ngramContainmentSets(cand, sh)
         .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.9)
         .orderBy("id_a", "id_b")
     }),

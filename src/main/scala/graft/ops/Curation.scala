@@ -24,11 +24,13 @@ object Curation {
 
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              dupTau: Double = 0.5, minQuality: Double = 60.0): DataFrame = {
-    val sigs = Dedup.signatures(docs, idCol, textCol)
-    val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+    // one tokenize pass feeds signatures AND exact verification
+    val sh = Dedup.shingleSets(docs, idCol, textCol).persist()
+    val cand = Dedup.minhashCandidates(
+        Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
       .select("id_a", "id_b")
     // verified pairs are emitted with id_a < id_b, so id_b is the loser
-    val losers = Dedup.ngramJaccard(cand, docs, idCol, textCol)
+    val losers = Dedup.ngramJaccardSets(cand, sh)
       .where(col("jaccard") >= dupTau)
       .select(col("id_b").as("loser_id")).distinct()
 

@@ -111,6 +111,27 @@ object Dedup {
       .toDF("id", "sig")
   }
 
+  /** id → signature derived from a MATERIALIZED shingle set ([[shingleSets]])
+    * instead of re-tokenizing the text. Bit-identical to [[signatures]] when
+    * the set's n equals `p.shingleSize`: the minimum of an affine hash over
+    * shingle OCCURRENCES equals the minimum over the DISTINCT shingle hashes
+    * (duplicates never change a min), which is exactly what the d02 oracle
+    * re-derives (it applies list_distinct before hashing).
+    */
+  def signaturesFromSets(shingles: DataFrame,
+                         p: MinHashParams = MinHashParams()): DataFrame = {
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    shingles.select(col("id"), col("sh")).as[(Long, Array[Long])]
+      .mapPartitions(_.map { case (id, sh) =>
+        val sig = Array.fill(p.numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < sh.length) { mixInto(sig, sh(i), p); i += 1 }
+        (id, sig)
+      })
+      .toDF("id", "sig")
+  }
+
   /** LSH candidate pairs + estimated Jaccard (fraction of equal minhashes).
     * `minEstJaccard` filters the verified estimate, not the banding.
     */
@@ -262,29 +283,97 @@ object Dedup {
 
   // --- exact n-gram Jaccard (verification of LSH candidates) -------------
 
-  /** Exact Jaccard over word n-gram sets for given candidate pairs
-    * (pair-cardinality work, joined back to texts by id).
+  /** Sorted DISTINCT FNV-64 word-n-gram hashes of one document, as a
+    * primitive array — the materialized form every pair-stage kernel
+    * intersects against. Never empty (a doc shorter than n shingles as its
+    * whole text, so even "" yields one hash).
     */
-  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3): DataFrame = {
+  def shingleArray(text: String, n: Int): Array[Long] = {
+    val toks = tokenize(if (text == null) "" else text)
+    val raw =
+      if (toks.length < n) Array(fnv64(toks.mkString(" ")))
+      else {
+        val out = new Array[Long](toks.length - n + 1)
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          out(i) = fnv64(sb.toString)
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(raw)
+    var w = 0; var r = 0
+    while (r < raw.length) {
+      if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
+    }
+    if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
+  }
+
+  /** id → sorted distinct shingle hashes, ONE narrow tokenize pass over the
+    * corpus. Every dedup query materializes this once (persist it) and all
+    * downstream stages — MinHash signatures, the sampled-shingle inverted
+    * index, exact pair verification — derive from it, instead of
+    * re-tokenizing the raw text per use (and, worse, per candidate PAIR: a
+    * doc in k pairs previously paid k tokenizations; on a dup-heavy corpus
+    * the candidate/doc ratio multiplies that).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, shingleArray(t, n)) })
+      .toDF("id", "sh")
+  }
+
+  /** |a ∩ b| of two sorted distinct arrays — two-pointer, zero allocation. */
+  def intersectSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  /** Exact Jaccard for candidate pairs against MATERIALIZED shingle sets
+    * (`(id, sh)` from [[shingleSets]]): two joins at pair cardinality, then
+    * a sorted-array intersection per pair — no text recompute anywhere.
+    */
+  def ngramJaccardSets(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val ta = docs.select(col(idCol).cast("long").as("id_a"), col(textCol).as("text_a"))
-    val tb = docs.select(col(idCol).cast("long").as("id_b"), col(textCol).as("text_b"))
-    pairs.join(ta, "id_a").join(tb, "id_b")
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
-      .as[(Long, Long, String, String)]
-      .mapPartitions(_.map { case (a, b, t1, t2) =>
-        (a, b, jaccard(shingleSet(t1, n), shingleSet(t2, n)))
+    val sa = shingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = shingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (a, b, s1, s2) =>
+        val inter = intersectSize(s1, s2)
+        (a, b, inter.toDouble / (s1.length + s2.length - inter))
       })
       .toDF("id_a", "id_b", "jaccard")
   }
 
-  def shingleSet(text: String, n: Int): Set[Long] = {
-    val toks = tokenize(if (text == null) "" else text)
-    if (toks.length < n) Set(fnv64(toks.mkString(" ")))
-    else (0 to toks.length - n).map(i => fnv64(toks.slice(i, i + n).mkString(" "))).toSet
-  }
+  /** Exact Jaccard joined back to raw texts (compat path; the shingle sets
+    * are built inline — prefer [[shingleSets]] + [[ngramJaccardSets]] when
+    * several stages share them).
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame =
+    ngramJaccardSets(pairs, shingleSets(docs, idCol, textCol, n))
+
+  def shingleSet(text: String, n: Int): Set[Long] =
+    shingleArray(text, n).toSet
 
   def jaccard(a: Set[Long], b: Set[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
@@ -304,13 +393,20 @@ object Dedup {
     */
   def sampledShingleCandidates(docs: DataFrame, idCol: String, textCol: String,
                                n: Int = 3, sampleMod: Int = 8,
-                               maxBucketSize: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
+                               maxBucketSize: Int = 64): DataFrame =
+    sampledShingleCandidatesFromSets(shingleSets(docs, idCol, textCol, n),
+      sampleMod, maxBucketSize)
+
+  /** Same inverted index, derived from MATERIALIZED shingle sets — the
+    * postings come from the one tokenize pass every other stage shares.
+    */
+  def sampledShingleCandidatesFromSets(shingles: DataFrame, sampleMod: Int = 8,
+                                       maxBucketSize: Int = 64): DataFrame = {
+    val spark = shingles.sparkSession
     import spark.implicits._
-    val posted = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        shingleSet(t, n).iterator
+    val posted = shingles.select(col("id"), col("sh")).as[(Long, Array[Long])]
+      .flatMap { case (id, sh) =>
+        sh.iterator
           .filter(h => java.lang.Long.remainderUnsigned(h, sampleMod) == 0L)
           .map(h => (h, id))
       }
@@ -331,20 +427,25 @@ object Dedup {
     * returns both directions per pair.
     */
   def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
-                       textCol: String, n: Int = 3): DataFrame = {
+                       textCol: String, n: Int = 3): DataFrame =
+    ngramContainmentSets(pairs, shingleSets(docs, idCol, textCol, n))
+
+  /** Containment against MATERIALIZED shingle sets — sorted-array
+    * intersection per pair, no per-pair text recompute.
+    */
+  def ngramContainmentSets(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val ta = docs.select(col(idCol).cast("long").as("id_a"), col(textCol).as("text_a"))
-    val tb = docs.select(col(idCol).cast("long").as("id_b"), col(textCol).as("text_b"))
-    pairs.join(ta, "id_a").join(tb, "id_b")
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
-      .as[(Long, Long, String, String)]
-      .mapPartitions(_.map { case (a, b, t1, t2) =>
-        val sa = shingleSet(t1, n); val sb = shingleSet(t2, n)
-        val inter = sa.intersect(sb).size
+    val sa = shingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = shingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (a, b, s1, s2) =>
+        val inter = intersectSize(s1, s2)
         (a, b,
-          if (sa.isEmpty) 0.0 else inter.toDouble / sa.size,
-          if (sb.isEmpty) 0.0 else inter.toDouble / sb.size)
+          if (s1.isEmpty) 0.0 else inter.toDouble / s1.length,
+          if (s2.isEmpty) 0.0 else inter.toDouble / s2.length)
       })
       .toDF("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
   }

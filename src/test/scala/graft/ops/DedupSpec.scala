@@ -141,6 +141,58 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), s"pairs=$pairs")
   }
 
+  test("shingleArray: sorted, distinct, same set as shingleSet") {
+    val docs = Seq(randomDoc(120), "a a a a a", "", "one two", randomDoc(5))
+    docs.foreach { d =>
+      val arr = Dedup.shingleArray(d, 3)
+      assert(arr.nonEmpty)
+      assert(arr.toSeq == arr.toSeq.sorted)
+      assert(arr.length == arr.toSet.size)
+      assert(arr.toSet == Dedup.shingleSet(d, 3))
+    }
+  }
+
+  test("signaturesFromSets is bit-identical to signatures") {
+    val docs = ((1L to 30L).map(i => (i, randomDoc(80))) :+ (31L, "") :+ (32L, "one two"))
+      .toDF("doc_id", "text")
+    val viaText = Dedup.signatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).sortBy(_._1)
+    val viaSets = Dedup.signaturesFromSets(Dedup.shingleSets(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).sortBy(_._1)
+    assert(viaText.sameElements(viaSets))
+  }
+
+  test("intersectSize matches Set.intersect on random sorted arrays") {
+    (1 to 20).foreach { _ =>
+      val a = Vector.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted.toArray
+      val b = Vector.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted.toArray
+      assert(Dedup.intersectSize(a, b) == a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  test("set-based jaccard/containment match the inline-tokenize path") {
+    val base = randomDoc(100)
+    val docs = Seq((1L, base), (2L, mutate(base, 0.1)), (3L, base + " " + randomDoc(300)),
+      (4L, randomDoc(100))).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val j1 = Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val j2 = Dedup.ngramJaccardSets(pairs, sh)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j1 == j2)
+    val c1 = Dedup.ngramContainment(pairs, docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    val c2 = Dedup.ngramContainmentSets(pairs, sh)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(c1 == c2)
+    val s1 = Dedup.sampledShingleCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = Dedup.sampledShingleCandidatesFromSets(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+  }
+
   test("signatures are deterministic across partitionings") {
     val docs = (1L to 50L).map(i => (i, randomDoc(60))).toDF("doc_id", "text")
     val s1 = Dedup.signatures(docs.repartition(1), "doc_id", "text")
