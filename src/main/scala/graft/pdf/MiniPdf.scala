@@ -193,6 +193,25 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Format-0 cmap subtable (byte encoding table): 256-entry gid array. */
+  def cmapFormat0(gidFor: Int => Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    w16(0); w16(262); w16(0)
+    (0 until 256).foreach(c => out.write(gidFor(c) & 0xFF))
+    out.toByteArray
+  }
+
+  /** Format-6 cmap subtable (trimmed table): firstCode + contiguous gids. */
+  def cmapFormat6(firstCode: Int, gids: Seq[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    w16(6); w16(10 + 2 * gids.length); w16(0)
+    w16(firstCode); w16(gids.length)
+    gids.foreach(w16)
+    out.toByteArray
+  }
+
   /** Format-12 cmap subtable from (startChar, endChar, startGid) groups. */
   def cmapFormat12(groups: Seq[(Int, Int, Int)]): Array[Byte] = {
     val out = new ByteArrayOutputStream()

@@ -85,19 +85,25 @@ object PdfObjects {
     // body scan already parsed the object at (the common, non-updated case)
     // the scan result IS the xref result — skip the re-parse; PDFs only pay
     // double parsing for objects an incremental update actually moved.
+    // type-0 entries: the newest chain entry says deleted. Track the set —
+    // removal from `out` alone is not enough, because a deleted object that
+    // lives inside an /ObjStm container (the common PDF 1.5+ shape for dict
+    // objects) would be re-added by the expansion loop below.
+    val deleted = xref.collect { case (num, XrefEntry(0, _, _)) => num }.toSet
     xref.foreach {
       case (num, XrefEntry(1, off, _)) =>
         if (!scanOffsets.get(num).contains(off.toInt))
           parseObjectAt(bytes, off.toInt, num).foreach(v => out(num) = v)
       case (num, XrefEntry(0, _, _)) =>
-        out.remove(num) // newest chain entry says deleted
+        out.remove(num)
       case _ =>
     }
     val base = new Objects(out.toMap)
     out.values.toVector.foreach {
       case s: PStream if base.name(s.dict.m.getOrElse("Type", PNull)).contains("ObjStm") =>
         expandObjStm(s, base).foreach { case (num, v) =>
-          if (!out.contains(num)) out(num) = v // direct objects win
+          // direct objects win; xref-deleted members stay deleted
+          if (!out.contains(num) && !deleted.contains(num)) out(num) = v
         }
       case _ =>
     }

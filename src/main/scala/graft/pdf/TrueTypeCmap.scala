@@ -7,8 +7,10 @@ package graft.pdf
   * The reference sidesteps fonts entirely by rasterizing
   * (ocr_adapters.py:62); this is the text-domain equivalent.
   *
-  * Scope: subtable formats 4 (BMP segments) and 12 (sequential groups),
-  * preferring Windows (3,1), then Unicode (0,*), then Windows (3,10).
+  * Scope: subtable formats 0 (byte table), 4 (BMP segments), 6 (trimmed
+  * table) and 12 (sequential groups), preferring Windows (3,1), then
+  * Unicode (0,*), then Windows (3,10). External predefined CMaps
+  * (UniGB-UCS2-H etc.) remain the documented degrade-to-empty.
   * Deterministic: when several codepoints map to one glyph, the LOWEST
   * codepoint wins. Total: malformed bytes yield an empty map, never a
   * throw; a hostile font is bounded by a mapping-count cap.
@@ -82,6 +84,24 @@ object TrueTypeCmap {
     }
 
     u16(best) match {
+      case 0 =>
+        // byte encoding table: 256-entry glyphIdArray, charCode 0..255
+        var c = 0
+        while (c < 256 && count < MaxMappings) {
+          val off = best + 6 + c
+          if (off < b.length) put(c, b(off) & 0xFF)
+          c += 1
+        }
+      case 6 =>
+        // trimmed table mapping: firstCode + entryCount u16 glyph ids
+        val first = u16(best + 6); val cnt = u16(best + 8)
+        if (first < 0 || cnt < 0 || cnt > 65536) return Map.empty
+        var i = 0
+        while (i < cnt && count < MaxMappings) {
+          val g = u16(best + 10 + 2 * i)
+          if (g > 0) put(first + i, g) else count += 1 // OOB/zero: budget still ticks
+          i += 1
+        }
       case 4 =>
         val segX2 = u16(best + 6)
         if (segX2 <= 0 || (segX2 & 1) == 1) return Map.empty

@@ -570,6 +570,29 @@ class PdfSpec extends AnyFunSuite {
     assert(text(pdf) == "mañana")
   }
 
+  test("type0 no-tounicode: format-6 (trimmed table) cmap decodes") {
+    // firstCode 'H': H→5, I→6, J→7 (an embedded subset font's minimal map)
+    val ttf = sfntWithCmap(MiniPdf.cmapFormat6(0x48, Seq(5, 6, 7)), 1, 0)
+    val pdf = MiniPdf.buildType0Embedded(Seq(("000500060007", 72, 700)), ttf)
+    assert(text(pdf) == "HIJ")
+  }
+
+  test("type0 no-tounicode: format-0 (byte encoding) cmap decodes") {
+    // gid = charCode - 0x40 for A..Z, 0 elsewhere
+    val ttf = sfntWithCmap(
+      MiniPdf.cmapFormat0(c => if (c >= 0x41 && c <= 0x5A) c - 0x40 else 0), 1, 0)
+    val pdf = MiniPdf.buildType0Embedded(Seq(("0008000F000C0001", 72, 700)), ttf)
+    assert(text(pdf) == "HOLA") // gids 8,15,12,1
+  }
+
+  test("truetype cmap: truncated format-6 table degrades, never throws") {
+    val full = MiniPdf.cmapFormat6(0x41, Seq(1, 2, 3, 4))
+    (0 until full.length).foreach { cut =>
+      val m = TrueTypeCmap.reverseMap(MiniPdf.sfntWithCmap(full.take(cut), 1, 0))
+      assert(m.values.forall(_.nonEmpty)) // total: partial or empty map, no throw
+    }
+  }
+
   test("type0 no-tounicode: garbage FontFile2 keeps the documented degrade") {
     val pdf = MiniPdf.buildType0Embedded(Seq(("00480069", 72, 700)),
       Array.fill[Byte](64)(0x5A)) // not an sfnt
@@ -739,6 +762,36 @@ class PdfSpec extends AnyFunSuite {
     b.xrefClassic(Map.empty, free = Set(5), prev = Some(x1))
     val got = PdfExtractor.extract(b.bytes).fold(_ => "", _.text)
     assert(!got.contains("version"), s"deleted object resurrected: '$got'")
+  }
+
+  test("xref-deleted object inside an /ObjStm is not resurrected by expansion") {
+    // obj 7 lives only inside container 8 (/Type /ObjStm); the newest xref
+    // section marks 7 free. Body-scan removal alone cannot delete it (it was
+    // never a direct object) — the expansion loop must honor the deletion.
+    val b = new IncrementalPdf
+    val offs = b.base("BT /F1 12 Tf 72 700 Td (body) Tj ET")
+    val payload = "7 0\n<< /Marker (hola) >>\n".getBytes(ISO_8859_1)
+    val packed = MiniPdf.deflate(payload)
+    val at8 = b.size
+    b.w(s"8 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode " +
+      s"/Length ${packed.length} >>\nstream\n")
+    b.out.write(packed)
+    b.w("\nendstream\nendobj\n")
+    val x1 = b.xrefClassic(offs + (8 -> at8))
+    b.xrefClassic(Map.empty, free = Set(7), prev = Some(x1))
+    val objs = PdfObjects.parseAll(b.bytes)
+    assert(!objs.byNum.contains(7), "xref-deleted ObjStm member resurrected")
+    assert(objs.byNum.contains(8)) // the container itself still resolves
+    // and without the deletion the member IS visible (the fixture is real)
+    val b2 = new IncrementalPdf
+    val offs2 = b2.base("BT /F1 12 Tf 72 700 Td (body) Tj ET")
+    val at8b = b2.size
+    b2.w(s"8 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode " +
+      s"/Length ${packed.length} >>\nstream\n")
+    b2.out.write(packed)
+    b2.w("\nendstream\nendobj\n")
+    b2.xrefClassic(offs2 + (8 -> at8b))
+    assert(PdfObjects.parseAll(b2.bytes).byNum.contains(7))
   }
 
   test("incremental update: rollback via a PDF 1.5 xref STREAM section") {
