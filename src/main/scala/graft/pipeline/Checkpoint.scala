@@ -64,17 +64,24 @@ object Checkpoint {
     // latest manifest row per bucket wins (re-extraction overwrites);
     // a tombstone row (rows_in = 0) means the bucket was deleted — it is
     // NOT an active commit, so a reappearing bucket re-extracts
-    val latestRows: Map[Int, (Long, Long)] =
+    val manifestRows: Array[(Int, Long, Long, Long)] =
       if (io.exists(spark, manifestPath(outDir)))
         io.read(spark, manifestPath(outDir))
           .select("bucket", "input_fingerprint", "committed_seq", "rows_in")
           .collect()
-          .groupBy(_.getInt(0))
-          .map { case (b, rows) =>
-            val latest = rows.maxBy(_.getLong(2))
-            b -> (latest.getLong(1), latest.getLong(3))
-          }
-      else Map.empty
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      else Array.empty
+    val latestRows: Map[Int, (Long, Long)] =
+      manifestRows.groupBy(_._1).map { case (b, rows) =>
+        val latest = rows.maxBy(_._3)
+        b -> (latest._2, latest._4)
+      }
+    // MONOTONIC ordering seq: max(existing) + 1, never wall clock — two runs
+    // in the same millisecond or a clock step backwards must not let an
+    // older manifest row win latest-wins (that would silently skip a
+    // re-extraction, or order a tombstone before the commit it supersedes)
+    val nextSeq = (if (manifestRows.isEmpty) 0L
+                   else manifestRows.iterator.map(_._3).max) + 1L
     val committed: Map[Int, Long] =
       latestRows.collect { case (b, (fp, rowsIn)) if rowsIn > 0 => b -> fp }
 
@@ -104,7 +111,7 @@ object Checkpoint {
         .toDF("bucket", "input_fingerprint", "rows_in", "bytes_in")
         .withColumn("rows_out", lit(0L))
         .withColumn("job_run_id", lit(jobRunId))
-        .withColumn("committed_seq", lit(System.currentTimeMillis()))
+        .withColumn("committed_seq", lit(nextSeq))
       io.write(tomb, manifestPath(outDir), SaveMode.Append)
     }
     // re-clean: every latest-tombstoned bucket (incl. ones just written and
@@ -126,12 +133,11 @@ object Checkpoint {
       // 3: data first (dynamic overwrite per bucket — idempotent)
       io.overwritePartitions(extracted, dataPath(outDir), "bucket")
 
-      // 4: manifest last
-      val seq = System.currentTimeMillis() // ordering only, never in data
+      // 4: manifest last (nextSeq + 1: commits outrank this run's tombstones)
       val manifest = pending.toSeq.toDF("bucket", "input_fingerprint", "rows_in", "bytes_in")
         .withColumn("rows_out", col("rows_in")) // kernel is total: one row out per row in
         .withColumn("job_run_id", lit(jobRunId))
-        .withColumn("committed_seq", lit(seq))
+        .withColumn("committed_seq", lit(nextSeq + 1L))
       io.write(manifest, manifestPath(outDir), SaveMode.Append)
     }
 

@@ -126,6 +126,32 @@ class CheckpointSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("re-run after a clock step-back still wins latest-wins (monotonic seq)") {
+    import spark.implicits._
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val out = freshDir()
+    Checkpoint.run(pages, out, ParquetIO, conf, "run-1", numBuckets = 16)
+
+    // simulate a run recorded under a WALL CLOCK far in the future: a stale
+    // manifest row for bucket 3 with a bogus fingerprint and a huge seq.
+    // Wall-clock ordering would let this row win over every later real run.
+    val bogus = Seq((3, 12345L, 0L, 0L, 0L, "clock-skewed",
+        System.currentTimeMillis() + 1000L * 86400 * 365))
+      .toDF("bucket", "input_fingerprint", "rows_in", "bytes_in", "rows_out",
+        "job_run_id", "committed_seq")
+    bogus.write.mode("append").parquet(Checkpoint.manifestPath(out))
+
+    // bucket 3's latest row is now the bogus one (rows_in = 0 → tombstone):
+    // the next run must re-extract it AND its new row must OUTRANK the bogus
+    // seq, otherwise every later run keeps re-extracting forever
+    val s2 = Checkpoint.run(pages, out, ParquetIO, conf, "run-2", numBuckets = 16)
+    assert(s2.bucketsPending == 1, s"skewed bucket must re-extract once: $s2")
+    val s3 = Checkpoint.run(pages, out, ParquetIO, conf, "run-3", numBuckets = 16)
+    assert(s3.bucketsPending == 0, s"monotonic seq must beat the skewed row: $s3")
+    assert(spark.read.parquet(Checkpoint.dataPath(out)).count() == pages.count())
+    pages.unpersist()
+  }
+
   test("manifest carries lineage columns") {
     val out = freshDir()
     val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001")
