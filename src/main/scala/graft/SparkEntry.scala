@@ -365,21 +365,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")
     }),
+    // REAL-decode gate: every kind's features come from decoded pixels/
+    // samples/frames, and the oracle re-derives the raw histogram COUNTS in
+    // SQL from the splitmix64 generator contract — a decode regression
+    // (wrong pixel, wrong frame sampled, wrong bin) breaks the hash match.
+    // byte_len is deliberately absent (PNG encoding is encoder-dependent).
     "m01_multimodal_features" -> ((s, dir) => {
       val assets = graft.ops.Multimodal.synthesize(documents(s, dir))
       graft.ops.Multimodal.extractFeatures(assets)
-        .select(col("doc_id"), col("kind"), col("byte_len"), col("frames_sampled"))
+        .select(col("doc_id"), col("kind"), col("frames_sampled"),
+          col("width"), col("height"),
+          array_join(transform(col("hist"), _.cast("string")), ",").as("feat_hist"))
         .orderBy("doc_id")
     }),
-    // the generator CONTRACT for the deterministic asset synthesis: WAV and
-    // video payload sizes/durations are pure splitmix64 functions of the id,
-    // which the oracle re-derives in SQL (PNG byte_len is encoder-dependent
-    // and stays gated by MultimodalSpec's decoded-pixel checks)
+    // decode-gated metadata: n_units is MEASURED (javax.sound PCM frame
+    // count / GMJ1 container frame count), the oracle re-derives the
+    // generator's formulas in splitmix64 SQL
     "m02_multimodal_meta" -> ((s, dir) => {
-      graft.ops.Multimodal.synthesize(documents(s, dir))
+      graft.ops.Multimodal.decodedMeta(
+          graft.ops.Multimodal.synthesize(documents(s, dir)))
         .where(col("kind") =!= "image")
-        .select(col("doc_id"), col("kind"),
-          length(col("payload")).as("byte_len"), col("duration_ms"))
         .orderBy("doc_id")
     }),
   )
@@ -388,6 +393,81 @@ object SparkEntry {
   private def hugeList(a: Array[Long]): String =
     a.map(v => s"CAST(${java.lang.Long.toUnsignedString(v)} AS HUGEINT)")
       .mkString("[", ",", "]")
+
+  /** splitmix64(x) as ONE DuckDB HUGEINT expression (mod-2^64 arithmetic;
+    * each 64×64-bit multiply split into 32-bit halves so the 128-bit
+    * HUGEINT never overflows). Intermediate stages are bound exactly once
+    * via single-element list_transform lambdas, keeping the expression
+    * linear instead of exponentially duplicated — usable inside other
+    * lambdas (per-pixel / per-sample derivations).
+    */
+  private def sm64(x: String): String = {
+    val M = "18446744073709551616"
+    def mulmod(a: String, k: String) =
+      s"((($a // 4294967296) * $k) % $M * 4294967296 % $M + ((($a) % 4294967296) * $k) % $M) % $M"
+    val s1 = s"(CAST($x AS HUGEINT) + 11400714819323198485) % $M"
+    val s2 = mulmod("xor(z1, z1 // 1073741824)", "13787848793156543929")
+    val s3 = mulmod("xor(z2, z2 // 134217728)", "10723151780598845931")
+    s"list_transform([$s1], z1 -> list_transform([$s2], z2 -> " +
+      s"list_transform([$s3], z3 -> xor(z3, z3 // 2147483648))[1])[1])[1]"
+  }
+
+  /** Luminance bin (0..15) of a 24-bit RGB value — the exact integer math
+    * of Multimodal.decodeImageCounts ((299r+587g+114b)/1000, then >>4).
+    */
+  private def lumBin(v: String): String =
+    s"list_transform([$v], q -> ((((q % 16777216) // 65536) * 299 + " +
+      s"(((q % 16777216) // 256) % 256) * 587 + ((q % 16777216) % 256) * 114) " +
+      s"// 1000) // 16)[1]"
+
+  /** 16 bin counts of a bin list, comma-joined (integer-exact compare). */
+  private def histCsv(bins: String): String =
+    s"array_to_string(list_transform(generate_series(0, 15), " +
+      s"b -> len(list_filter($bins, v -> v = b))), ',')"
+
+  /** m01 oracle: the full multimodal feature pipeline re-derived in SQL —
+    * per-pixel splitmix64 → luminance bins for images, per-sample 16-bit
+    * bins for audio, and for video the SAME per-pixel derivation over the
+    * 4 sampled frame indices floor(nf*k/4) of the nf-frame container.
+    */
+  private def m01OracleSql: String = {
+    val imgBins = s"list_transform(generate_series(0, w*h - 1), p -> " +
+      s"${lumBin(sm64("id*1000003 + (p // w)*131 + (p % w)"))})"
+    // bins index SIGNED samples ((s+32768)>>12); on the unsigned 16-bit
+    // value x that is (x//4096 + 8) mod 16
+    val audBins = s"list_transform(generate_series(0, n - 1), i -> " +
+      s"(((${sm64("id*999983 + i")} % 65536) // 4096) + 8) % 16)"
+    val vidBins = s"flatten(list_transform(list_transform([0,1,2,3], " +
+      s"k -> (nf * k) // 4), f -> list_transform(generate_series(0, 191), p -> " +
+      s"${lumBin(sm64("id*7919 + f*100003 + (p // 16)*131 + (p % 16)"))})))"
+    s"""WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |img AS (
+       |  SELECT id, 16 + (id % 4) * 8 AS w, 12 + (id % 3) * 8 AS h
+       |  FROM docs WHERE id % 3 = 0),
+       |imgrows AS (
+       |  SELECT id AS doc_id, 'image' AS kind, 0 AS frames_sampled,
+       |    w AS width, h AS height, ${histCsv(imgBins)} AS feat_hist
+       |  FROM img),
+       |aud AS (
+       |  SELECT id, CAST(400 + ${sm64("id")} % 1024 AS BIGINT) AS n
+       |  FROM docs WHERE id % 3 = 1),
+       |audrows AS (
+       |  SELECT id AS doc_id, 'audio' AS kind, 0 AS frames_sampled,
+       |    0 AS width, 0 AS height, ${histCsv(audBins)} AS feat_hist
+       |  FROM aud),
+       |vid AS (
+       |  SELECT id, CAST(4 + ${sm64("id")} % 8 AS BIGINT) AS nf
+       |  FROM docs WHERE id % 3 = 2),
+       |vidrows AS (
+       |  SELECT id AS doc_id, 'video' AS kind, 4 AS frames_sampled,
+       |    16 AS width, 12 AS height, ${histCsv(vidBins)} AS feat_hist
+       |  FROM vid)
+       |SELECT doc_id, kind, CAST(frames_sampled AS INTEGER) AS frames_sampled,
+       |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, feat_hist
+       |FROM (SELECT * FROM imgrows UNION ALL SELECT * FROM audrows
+       |      UNION ALL SELECT * FROM vidrows)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared SQL: doc_id → word-3-gram shingle FNV-64 hashes / token hashes
     * (the exact `Dedup.fnv64` fold, mod-2^64 in HUGEINT).
@@ -501,22 +581,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "d02_minhash_pairs" -> d02OracleSql,
     "d03_simhash_pairs" -> d03OracleSql,
-    // splitmix64 re-derived in HUGEINT SQL (32-bit-split modular multiplies)
+    "m01_multimodal_features" -> m01OracleSql,
+    // decode-gated metadata: Spark MEASURES n_units (PCM frame count /
+    // container frame count); the oracle re-derives the generator formulas
     "m02_multimodal_meta" ->
-      """WITH s0 AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 3 <> 0),
-        |s1 AS (SELECT id, (CAST(id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS x FROM s0),
-        |s2 AS (SELECT id, (((xor(x, x // 1073741824) // 4294967296) * 13787848793156543929) % 18446744073709551616 * 4294967296 % 18446744073709551616
-        |              + (xor(x, x // 1073741824) % 4294967296) * 13787848793156543929 % 18446744073709551616) % 18446744073709551616 AS x FROM s1),
-        |s3 AS (SELECT id, (((xor(x, x // 134217728) // 4294967296) * 10723151780598845931) % 18446744073709551616 * 4294967296 % 18446744073709551616
-        |              + (xor(x, x // 134217728) % 4294967296) * 10723151780598845931 % 18446744073709551616) % 18446744073709551616 AS x FROM s2),
-        |sm AS (SELECT id, xor(x, x // 2147483648) AS v FROM s3)
-        |SELECT id AS doc_id,
-        |  CASE WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(CASE WHEN id % 3 = 1 THEN 44 + 2 * (400 + v % 1024)
-        |            ELSE 256 + v % 1024 END AS INTEGER) AS byte_len,
-        |  CAST(CASE WHEN id % 3 = 1 THEN ((400 + v % 1024) * 1000) // 8000
-        |            ELSE 2000 + (id % 30) * 1000 END AS INTEGER) AS duration_ms
-        |FROM sm ORDER BY doc_id""".stripMargin,
+      s"""WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 3 <> 0),
+         |sm AS (SELECT id, ${sm64("id")} AS v FROM docs)
+         |SELECT id AS doc_id,
+         |  CASE WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(CASE WHEN id % 3 = 1 THEN ((400 + v % 1024) * 1000) // 8000
+         |            ELSE 2000 + (id % 30) * 1000 END AS INTEGER) AS duration_ms,
+         |  CAST(CASE WHEN id % 3 = 1 THEN 400 + v % 1024
+         |            ELSE 4 + v % 8 END AS BIGINT) AS n_units
+         |FROM sm ORDER BY doc_id""".stripMargin,
     // INTEGER casts: Spark length()/size() are int32 — match the width
     "t01_token_stats" ->
       """SELECT doc_id,

@@ -13,13 +13,15 @@ import scala.util.control.NonFatal
   *    from actual decoded pixels;
   *  - audio: REAL — payloads are RIFF/PCM WAV; decode runs through
   *    `javax.sound.sampled`, features derive from actual PCM samples;
-  *  - video: STUB — no container/codec in the JDK; `fakeDecode` is a
-  *    deterministic byte-statistics transform with the signature a real
-  *    decoder would have (swap for a JNI/FFM ffmpeg without touching any
-  *    pipeline code). Frame SAMPLING offsets are the real shape.
+  *  - video: REAL frame decode — payloads are an MJPEG-style container
+  *    (`GMJ1` magic, length-prefixed PNG frames); frame sampling picks
+  *    evenly-spaced frame INDICES, each sampled frame decodes through the
+  *    image path, features average real per-frame histograms. Only the
+  *    container format is synthetic (no mp4 demuxer in the JDK — an
+  *    FFM-bound ffmpeg swaps in at `decodeVideoFrames` alone).
   *
-  * Undecodable payloads degrade to `fakeDecode`, never throw — the batch
-  * loop is total.
+  * Undecodable payloads degrade to `fakeDecode` (byte statistics), never
+  * throw — the batch loop is total.
   */
 object Multimodal {
 
@@ -27,10 +29,19 @@ object Multimodal {
                              duration_ms: Int, format: String)
   final case class Asset(doc_id: Long, kind: String, payload: Array[Byte],
                          width: Int, height: Int, duration_ms: Int, format: String)
+  /** `features` is the L1-normalized histogram (the training-pipeline
+    * feature vector); `hist` carries the RAW integer bin counts the
+    * normalization divided away — pure integer functions of the decoded
+    * pixels/samples, which is what the DuckDB oracle re-derives (floats
+    * would compare on formatting, counts compare exactly).
+    */
   final case class AssetFeatures(doc_id: Long, kind: String, byte_len: Int,
-                                 features: Array[Double], frames_sampled: Int)
+                                 features: Array[Double], frames_sampled: Int,
+                                 width: Int, height: Int, hist: Array[Long])
 
   val SampleRate = 8000
+  val FrameW = 16
+  val FrameH = 12
 
   /** Deterministic synthetic assets derived from doc ids (no external data):
     * kind rotates image/audio/video; image payloads are real PNGs, audio
@@ -51,29 +62,26 @@ object Multimodal {
           Asset(id, "audio", synthesizeWav(id, n), 0, 0,
             n * 1000 / SampleRate, "wav")
         case _ =>
-          val len = 256 + (Dedup.splitmix64(id) & 0x3FFL).toInt
-          val payload = new Array[Byte](len)
-          var i = 0
-          var hsh = Dedup.splitmix64(id * 31 + 7)
-          while (i < len) {
-            payload(i) = (hsh >>> ((i % 8) * 8)).toByte
-            if (i % 8 == 7) hsh = Dedup.splitmix64(hsh)
-            i += 1
-          }
-          Asset(id, "video", payload, 1280, 720, 2000 + (id % 30).toInt * 1000, "mp4")
+          val nFrames = 4 + (Dedup.splitmix64(id) & 0x7L).toInt
+          Asset(id, "video", synthesizeVideo(id, nFrames), FrameW, FrameH,
+            2000 + (id % 30).toInt * 1000, "gmj")
       }
     }).toDF()
   }
 
   /** Deterministic RGB PNG: pixel (x, y) colored by splitmix64(id, x, y). */
-  def synthesizeImage(id: Long, w: Int, h: Int): Array[Byte] = {
+  def synthesizeImage(id: Long, w: Int, h: Int): Array[Byte] =
+    pngOf(id * 1000003L, w, h)
+
+  /** PNG whose pixel (x, y) is splitmix64(seedBase + y*131 + x) & 0xFFFFFF. */
+  private def pngOf(seedBase: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = Dedup.splitmix64(id * 1000003L + y.toLong * 131L + x)
+        val v = Dedup.splitmix64(seedBase + y.toLong * 131L + x)
         img.setRGB(x, y, (v & 0xFFFFFF).toInt)
         x += 1
       }
@@ -83,6 +91,51 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** MJPEG-style container of REAL PNG frames: `GMJ1` magic, then per frame
+    * a 4-byte big-endian length + the PNG bytes. Frame f's pixel (x, y) is
+    * splitmix64(id*7919 + f*100003 + y*131 + x) — the generator contract the
+    * m01/m02 oracles re-derive in SQL.
+    */
+  def synthesizeVideo(id: Long, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write('G'); bos.write('M'); bos.write('J'); bos.write('1')
+    var f = 0
+    while (f < nFrames) {
+      val png = pngOf(id * 7919L + f.toLong * 100003L, FrameW, FrameH)
+      bos.write((png.length >> 24) & 0xFF); bos.write((png.length >> 16) & 0xFF)
+      bos.write((png.length >> 8) & 0xFF); bos.write(png.length & 0xFF)
+      bos.write(png, 0, png.length)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Split a GMJ1 container into its frame payloads. None when the bytes
+    * are not a well-formed container (truncated lengths, bad magic).
+    */
+  def decodeVideoFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (payload.length < 4 || payload(0) != 'G' || payload(1) != 'M' ||
+        payload(2) != 'J' || payload(3) != '1') return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var off = 4
+    while (off < payload.length) {
+      if (off + 4 > payload.length) return None
+      val len = ((payload(off) & 0xFF) << 24) | ((payload(off + 1) & 0xFF) << 16) |
+        ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
+      if (len < 0 || off + 4 + len > payload.length) return None
+      frames += java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + len)
+      off += 4 + len
+    }
+    Some(frames.result())
+  }
+
+  /** Evenly-spaced frame indices (floor(total*k/n)), the real sampling
+    * shape: a 2h video at n=4 decodes 4 frames, never the whole stream.
+    */
+  def sampleFrameIndices(total: Int, n: Int): Seq[Int] =
+    if (total <= 0 || n <= 0) Nil
+    else (0 until math.min(n, total)).map(k => (total.toLong * k / math.min(n, total)).toInt)
 
   /** Deterministic mono 16-bit PCM WAV at [[SampleRate]]. */
   def synthesizeWav(id: Long, samples: Int): Array[Byte] = {
@@ -103,15 +156,18 @@ object Multimodal {
     out.array()
   }
 
-  /** REAL image decode (javax.imageio): 16-bin luminance histogram over the
-    * decoded pixels, L1-normalized. None when the bytes are not an image.
+  /** Decoded raw-count result: dimensions + 16 integer histogram bins. */
+  final case class Decoded(width: Int, height: Int, hist: Array[Long])
+
+  /** REAL image decode (javax.imageio): 16-bin luminance histogram (raw
+    * counts) over the decoded pixels. None when the bytes are not an image.
     */
-  def decodeImage(payload: Array[Byte]): Option[Array[Double]] = {
+  def decodeImageCounts(payload: Array[Byte]): Option[Decoded] = {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
-        val bins = new Array[Double](16)
+        val bins = new Array[Long](16)
         val w = img.getWidth; val h = img.getHeight
         var y = 0
         while (y < h) {
@@ -120,23 +176,24 @@ object Multimodal {
             val rgb = img.getRGB(x, y)
             val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
               (rgb & 0xFF) * 114) / 1000
-            bins(lum >> 4) += 1.0
+            bins(lum >> 4) += 1L
             x += 1
           }
           y += 1
         }
-        val total = w.toDouble * h
-        var b = 0
-        while (b < 16) { bins(b) /= total; b += 1 }
-        Some(bins)
+        Some(Decoded(w, h, bins))
       }
     } catch { case NonFatal(_) => None }
   }
 
-  /** REAL audio decode (javax.sound.sampled): 16-bin histogram over the
-    * signed 16-bit sample range, L1-normalized. None when not decodable.
+  /** L1-normalized luminance histogram (feature-vector view). */
+  def decodeImage(payload: Array[Byte]): Option[Array[Double]] =
+    decodeImageCounts(payload).map(d => normalize(d.hist))
+
+  /** REAL audio decode (javax.sound.sampled): 16-bin histogram (raw counts)
+    * over the signed 16-bit sample range. None when not decodable.
     */
-  def decodeAudio(payload: Array[Byte]): Option[Array[Double]] = {
+  def decodeAudioCounts(payload: Array[Byte]): Option[Decoded] = {
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -147,50 +204,75 @@ object Multimodal {
         val le = !fmt.isBigEndian
         val n = bytes.length / 2
         if (n == 0) return None
-        val bins = new Array[Double](16)
+        val bins = new Array[Long](16)
         var i = 0
         while (i < n) {
           val lo = bytes(2 * i) & 0xFF
           val hi = bytes(2 * i + 1) & 0xFF
           val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
-          bins((s + 32768) >> 12) += 1.0
+          bins((s + 32768) >> 12) += 1L
           i += 1
         }
-        var b = 0
-        while (b < 16) { bins(b) /= n; b += 1 }
-        Some(bins)
+        Some(Decoded(0, 0, bins))
       } finally ais.close()
     } catch { case NonFatal(_) => None }
   }
 
-  /** STUB decode (video kind + undecodable fallback): 16-bin byte histogram,
-    * L1-normalized. A real decoder (FFM-bound ffmpeg) replaces ONLY this.
-    */
-  def fakeDecode(payload: Array[Byte]): Array[Double] = {
-    val bins = new Array[Double](16)
-    var i = 0
-    while (i < payload.length) { bins((payload(i) & 0xFF) >> 4) += 1.0; i += 1 }
-    val total = math.max(payload.length, 1).toDouble
-    var b = 0
-    while (b < 16) { bins(b) /= total; b += 1 }
-    bins
-  }
+  def decodeAudio(payload: Array[Byte]): Option[Array[Double]] =
+    decodeAudioCounts(payload).map(d => normalize(d.hist))
 
-  /** Deterministic frame sampling for video payloads: n evenly-spaced
-    * 32-byte windows (a real impl samples decoded frames; offsets shape
-    * is identical).
+  /** REAL video features: split the container, sample `nSample` evenly-
+    * spaced frame indices, decode each sampled frame through the image
+    * path, SUM the per-frame luminance counts. None when the container or
+    * any sampled frame fails to decode.
     */
-  def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    if (payload.isEmpty || n <= 0) return Nil
-    (0 until n).map { k =>
-      val off = (payload.length.toLong * k / n).toInt
-      java.util.Arrays.copyOfRange(payload, off, math.min(off + 32, payload.length))
+  def decodeVideoCounts(payload: Array[Byte], nSample: Int = 4): Option[(Int, Decoded)] = {
+    decodeVideoFrames(payload).flatMap { frames =>
+      val idx = sampleFrameIndices(frames.length, nSample)
+      if (idx.isEmpty) return None
+      val acc = new Array[Long](16)
+      var w = 0; var h = 0
+      idx.foreach { i =>
+        decodeImageCounts(frames(i)) match {
+          case Some(d) =>
+            w = d.width; h = d.height
+            var b = 0
+            while (b < 16) { acc(b) += d.hist(b); b += 1 }
+          case None => return None
+        }
+      }
+      Some((idx.length, Decoded(w, h, acc)))
     }
   }
 
+  private def normalize(hist: Array[Long]): Array[Double] = {
+    var total = 0L
+    var b = 0
+    while (b < 16) { total += hist(b); b += 1 }
+    val t = math.max(total, 1L).toDouble
+    val out = new Array[Double](16)
+    b = 0
+    while (b < 16) { out(b) = hist(b) / t; b += 1 }
+    out
+  }
+
+  /** FALLBACK for undecodable payloads only: 16-bin byte histogram (raw
+    * counts). Every synthesized kind now decodes for real.
+    */
+  def fakeDecodeCounts(payload: Array[Byte]): Array[Long] = {
+    val bins = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) { bins((payload(i) & 0xFF) >> 4) += 1L; i += 1 }
+    bins
+  }
+
+  def fakeDecode(payload: Array[Byte]): Array[Double] =
+    normalize(fakeDecodeCounts(payload))
+
   /** Batched feature extraction: one partition = one batch loop, decoder
     * state reusable across rows (the mapInPandas batch shape, JVM-native).
-    * Image/audio features come from REAL decoded pixels/samples.
+    * ALL three kinds decode for real; `hist` carries raw integer counts
+    * (the oracle-checkable form), `features` the normalized view.
     */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
@@ -200,17 +282,46 @@ object Multimodal {
         // per-partition decoder init happens here (reference analogue:
         // per-process adapter instance, adapter_factory.py:22-35)
         it.map { case (id, kind, payload) =>
-          val frames = if (kind == "video") sampleFrames(payload, 4) else Nil
-          val base = kind match {
-            case "image" => decodeImage(payload).getOrElse(fakeDecode(payload))
-            case "audio" => decodeAudio(payload).getOrElse(fakeDecode(payload))
-            case _ if frames.nonEmpty =>
-              frames.map(fakeDecode).transpose.map(_.sum / frames.length).toArray
-            case _ => fakeDecode(payload)
+          val (framesSampled, decoded) = kind match {
+            case "image" => (0, decodeImageCounts(payload))
+            case "audio" => (0, decodeAudioCounts(payload))
+            case "video" => decodeVideoCounts(payload) match {
+              case Some((n, d)) => (n, Some(d))
+              case None => (0, None)
+            }
+            case _ => (0, None)
           }
-          AssetFeatures(id, kind, payload.length, base, frames.size)
+          val d = decoded.getOrElse(Decoded(0, 0, fakeDecodeCounts(payload)))
+          AssetFeatures(id, kind, payload.length, normalize(d.hist), framesSampled,
+            d.width, d.height, d.hist)
         }
       }.toDF()
+  }
+
+  /** Decode-gated metadata: `n_units` is MEASURED by the decoder (audio:
+    * PCM frame count from javax.sound; video: container frame count), never
+    * read back from the generator's formulas — the m02 oracle re-derives
+    * those formulas in SQL, so a decode regression breaks the match.
+    */
+  def decodedMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("kind"), col("payload"), col("duration_ms"))
+      .as[(Long, String, Array[Byte], Int)]
+      .mapPartitions(_.map { case (id, kind, payload, durationMs) =>
+        val nUnits: Long = kind match {
+          case "audio" =>
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try ais.getFrameLength finally ais.close()
+            } catch { case NonFatal(_) => -1L }
+          case "video" => decodeVideoFrames(payload).map(_.length.toLong).getOrElse(-1L)
+          case _ => -1L
+        }
+        (id, kind, durationMs, nUnits)
+      })
+      .toDF("doc_id", "kind", "duration_ms", "n_units")
   }
 
   /** Metadata-only resize (clamp to maxW×maxH, keep aspect): the generic

@@ -101,9 +101,56 @@ class MultimodalSpec extends AnyFunSuite {
       assert(decoded.getWidth == r.getAs[Int]("width"))
       assert(decoded.getHeight == r.getAs[Int]("height"))
     }
-    // non-image rows pass through untouched
+    // non-image rows pass through untouched (video frame dims preserved)
     val vid = resized.where(col("kind") === "video").limit(1).collect()(0)
-    assert(vid.getAs[Int]("width") == 1280)
+    assert(vid.getAs[Int]("width") == Multimodal.FrameW)
+  }
+
+  test("video: GMJ1 container round-trips real PNG frames with known pixels") {
+    val id = 2L
+    val nf = 4 + (Dedup.splitmix64(id) & 0x7L).toInt
+    val payload = Multimodal.synthesizeVideo(id, nf)
+    val frames = Multimodal.decodeVideoFrames(payload).get
+    assert(frames.length == nf)
+    // frame f pixel (x, y) is splitmix64(id*7919 + f*100003 + y*131 + x)
+    frames.zipWithIndex.foreach { case (png, f) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == Multimodal.FrameW && img.getHeight == Multimodal.FrameH)
+      val expect = (Dedup.splitmix64(id * 7919L + f * 100003L + 3 * 131L + 5) & 0xFFFFFF).toInt
+      assert((img.getRGB(5, 3) & 0xFFFFFF) == expect, s"frame $f pixel mismatch")
+    }
+    // feature path: 4 sampled frames, counts sum to 4 × FrameW × FrameH
+    val (sampled, d) = Multimodal.decodeVideoCounts(payload).get
+    assert(sampled == 4)
+    assert(d.hist.sum == 4L * Multimodal.FrameW * Multimodal.FrameH)
+    assert(d.width == Multimodal.FrameW && d.height == Multimodal.FrameH)
+    // truncated container is rejected, not mis-decoded
+    assert(Multimodal.decodeVideoFrames(payload.take(payload.length - 3)).isEmpty)
+    assert(Multimodal.decodeVideoFrames("nope".getBytes).isEmpty)
+  }
+
+  test("sampleFrameIndices: evenly spaced, distinct, bounded") {
+    assert(Multimodal.sampleFrameIndices(8, 4) == Seq(0, 2, 4, 6))
+    assert(Multimodal.sampleFrameIndices(4, 4) == Seq(0, 1, 2, 3))
+    assert(Multimodal.sampleFrameIndices(11, 4) == Seq(0, 2, 5, 8))
+    assert(Multimodal.sampleFrameIndices(2, 4) == Seq(0, 1)) // fewer frames than n
+    assert(Multimodal.sampleFrameIndices(0, 4).isEmpty)
+  }
+
+  test("extractFeatures: hist counts are the unnormalized features") {
+    val feats = Multimodal.extractFeatures(Multimodal.synthesize(docs.limit(30))).collect()
+    feats.foreach { r =>
+      val hist = r.getAs[scala.collection.Seq[Long]]("hist")
+      val f = r.getAs[scala.collection.Seq[Double]]("features")
+      val total = hist.sum.toDouble
+      hist.zip(f).foreach { case (c, x) => assert(math.abs(c / total - x) < 1e-12) }
+      r.getAs[String]("kind") match {
+        case "image" =>
+          assert(hist.sum == r.getAs[Int]("width").toLong * r.getAs[Int]("height"))
+        case "video" => assert(hist.sum == 4L * Multimodal.FrameW * Multimodal.FrameH)
+        case _ => assert(hist.sum > 0)
+      }
+    }
   }
 
   test("resize stub clamps dimensions, keeps aspect, leaves payload") {
