@@ -37,16 +37,28 @@ object SparkEntry {
           "page_count", "text_len", "word_count")
         .orderBy("url")
     }),
+    // golden gate at the given sf AND (when run at a smaller sf) at the
+    // bench-scale sibling sf0.1 with the bench's 64-replica corpus — one
+    // row per scale, so the correctness dump itself shows 320k/320k
     "x02_golden_check" -> ((s, dir) => {
-      val pages = SyntheticPages.fromDocuments(s, dir)
-      val extracted = Extract.runNarrow(pages).toDF()
-      val joined = extracted.select(col("url"), col("status"), col("text").as("actual"))
-        .join(pages.select(col("url"), col("text").as("expected")), Seq("url"))
-      joined.agg(
-        count(lit(1)).as("total"),
-        sum(when(col("status") === "processed", 1L).otherwise(0L)).as("processed"),
-        sum(when(col("actual") <=> col("expected"), 1L).otherwise(0L)).as("matched"),
-        sum(when(not(col("actual") <=> col("expected")), 1L).otherwise(0L)).as("mismatched"))
+      def gate(d: String, replicas: Int): DataFrame = {
+        val pages = SyntheticPages.fromDocuments(s, d, replicas)
+        val extracted = Extract.runNarrow(pages).toDF()
+        extracted.select(col("url"), col("status"), col("text").as("actual"))
+          .join(pages.select(col("url"), col("text").as("expected")), Seq("url"))
+          .agg(
+            count(lit(1)).as("total"),
+            sum(when(col("status") === "processed", 1L).otherwise(0L)).as("processed"),
+            sum(when(col("actual") <=> col("expected"), 1L).otherwise(0L)).as("matched"),
+            sum(when(not(col("actual") <=> col("expected")), 1L).otherwise(0L)).as("mismatched"))
+          .withColumn("scale", lit(s"$d x$replicas"))
+          .select("scale", "total", "processed", "matched", "mismatched")
+      }
+      val sib = new java.io.File(new java.io.File(dir).getParentFile, "sf0.1")
+      val runs = gate(dir, 1) +:
+        (if (sib.isDirectory && sib.getPath != new java.io.File(dir).getPath)
+           Seq(gate(sib.getPath, 64)) else Nil)
+      runs.reduce(_ unionAll _)
     }),
     "x03_type_counts" -> ((s, dir) => {
       val pages = SyntheticPages.fromDocuments(s, dir)
@@ -191,14 +203,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
     }),
-    // top-k per group (row_number with deterministic tiebreak)
+    // top-k per group via a bounded typed Aggregator (map-side partial
+    // top-2 per partition), NOT a row_number window: a window's sort
+    // parallelism is bounded by the 25 distinct nations at any scale,
+    // the aggregate's by input partitions. Same deterministic tiebreak
+    // (c_acctbal DESC, c_custkey ASC) — oracle stays bit-exact.
     "q13_top_customers_per_nation" -> ((s, dir) => {
-      val w = Window.partitionBy("c_nationkey")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      import s.implicits._
       customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
-          row_number().over(w).as("rk"))
-        .where(col("rk") <= 2)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .as[(Int, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, bal) => graft.ops.Scored(id, bal) }
+        .agg(new graft.ops.TopKByScore(2).toColumn)
+        .flatMap { case (nat, tops) =>
+          tops.zipWithIndex.map { case (t, i) => (t.id, nat, t.score, i + 1) }
+        }
+        .toDF("c_custkey", "c_nationkey", "c_acctbal", "rk")
     }),
 
     // ---- training-data pipeline ops (text analysis / dedup / similarity /
@@ -337,9 +358,11 @@ object SparkEntry {
         .getSeq[Double](0).toArray
       val index = graft.ops.Similarity.buildIvf(emb, "vec_id", "embedding", numLists = 16)
       // deterministic per-sf path, overwritten each run (a fresh temp dir
-      // per invocation would leak a full index copy every bench round)
+      // per invocation would leak a full index copy every bench round);
+      // keyed by Spark application id so two concurrent drivers on one
+      // host never race on the same index files
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+        s.sparkContext.applicationId + "-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       graft.ops.Similarity.writeIvf(index, tmp)
       val loaded = graft.ops.Similarity.loadIvf(s, tmp)
       graft.ops.Similarity.ivfTopK(loaded, q, 10, nprobe = 12)
@@ -471,6 +494,16 @@ object SparkEntry {
 
   /** Shared SQL: doc_id → word-3-gram shingle FNV-64 hashes / token hashes
     * (the exact `Dedup.fnv64` fold, mod-2^64 in HUGEINT).
+    *
+    * CORPUS ASSUMPTION (BMP, simple casing): the Scala side folds UTF-16
+    * code units (`String.charAt`) and lowercases via `java.lang.String`,
+    * this SQL folds Unicode CODEPOINTS and lowercases via DuckDB `lower()`.
+    * The two agree on every BMP character with 1:1 lowercase mapping —
+    * which covers the driver's generated corpus — but would diverge on
+    * astral-plane characters (emoji, CJK ext-B: one codepoint vs two
+    * surrogate units) and special casings (e.g. İ). A corpus needing those
+    * would fold surrogate units in the SQL instead; the operators
+    * themselves are unaffected (both sides of every pair hash the same way).
     */
   private val FnvFold =
     """list_reduce(

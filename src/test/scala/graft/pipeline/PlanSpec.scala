@@ -86,6 +86,15 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("q13: top-k per group is a partial aggregate, not a window") {
+    // a row_number window's sort parallelism is bounded by the 25 distinct
+    // nations; the bounded Aggregator reduces map-side on every partition
+    val plan = physical("q13_top_customers_per_nation")
+    assert(!plan.contains("Window"), s"q13 regressed to a window:\n$plan")
+    assert(plan.contains("partial_topkbyscore"),
+      s"q13 lost its map-side partial top-k:\n$plan")
+  }
+
   test("whole-stage codegen spans cover the oracle rollups") {
     val df = graft.SparkEntry.queries("q01_pricing_rollup")(spark, sf)
     df.collect() // finalize the AQE plan
