@@ -37,8 +37,12 @@ object Blocks {
 
   private val BoilerContainers = Set("nav", "header", "footer", "aside")
 
-  /** One text run inside the current block. */
-  private final case class Piece(raw: String, off: Int, link: Boolean)
+  /** One text run inside the current block — a slice [a, b) of `src`
+    * (`real = false` for synthetic runs like `<br>`'s space, which carry no
+    * source offset).
+    */
+  private final case class Piece(src: String, a: Int, b: Int, link: Boolean,
+                                 real: Boolean)
 
   def segment(root: Elem): Segmented = {
     val blocks = new ArrayBuffer[Block]
@@ -58,13 +62,13 @@ object Blocks {
     def walk(e: Elem): Unit = {
       e.children.foreach {
         case t: Text =>
-          pieces += Piece(t.raw, t.off, linkDepth > 0)
+          pieces += Piece(t.src, t.off, t.end, linkDepth > 0, real = true)
         case el: Elem if Skipped.contains(el.name) => // no text contribution
         case el: Elem if el.name == "table" =>
           flush()
           tables += extractTable(el)
         case el: Elem if el.name == "br" =>
-          pieces += Piece(" ", -1, linkDepth > 0)
+          pieces += Piece(" ", 0, 1, linkDepth > 0, real = false)
         case el: Elem =>
           val isBlock = BlockLevel.contains(el.name)
           val isBoiler = BoilerContainers.contains(el.name)
@@ -92,37 +96,67 @@ object Blocks {
     * code in the HTML kernel; the fused form halves its time vs the
     * decode-then-count-then-collapse original with identical output).
     */
+  /** Reused per-thread scratch for block assembly: the normalized text is
+    * written here and copied out ONCE as the final String — no StringBuilder
+    * churn per block (alloc = exactly the output string; this path is the
+    * kernel's hottest allocation site by measurement, and at 100 TB the
+    * allocation rate, not the CPU, is what stops wide executors scaling).
+    */
+  private val scratch = new ThreadLocal[Array[Char]] {
+    override def initialValue(): Array[Char] = new Array[Char](8192)
+  }
+
   private def assemble(pieces: ArrayBuffer[Piece], tag: String, inBoiler: Boolean): Block = {
     var linkChars = 0
     var textChars = 0
-    val sb = new java.lang.StringBuilder
+    // upper bound on the collapsed length (entity replacements are never
+    // longer than their source form)
+    var cap = 0
+    pieces.foreach(p => cap += p.b - p.a)
+    var buf = scratch.get()
+    if (buf.length < cap) {
+      buf = new Array[Char](java.lang.Integer.highestOneBit(cap) * 2)
+      scratch.set(buf)
+    }
+    var len = 0
     var startOff = -1
     var endOff = -1
     var pendingSpace = false
     var started = false
     pieces.foreach { p =>
-      // raw concatenation is fine: entities never span text tokens
-      val dec = Entities.decode(p.raw)
-      var i = 0
-      while (i < dec.length) {
-        val c = dec.charAt(i)
+      // scan the source slice in place (no substring, no decoded copy) —
+      // entity decode fuses into the same whitespace-collapse loop; entities
+      // never span text tokens, so the slice bound caps the `;` search
+      @inline def emit(c: Char): Unit =
         if (isWs(c)) pendingSpace = true
         else {
-          if (pendingSpace && started) sb.append(' ')
-          sb.append(c)
+          if (pendingSpace && started) { buf(len) = ' '; len += 1 }
+          buf(len) = c; len += 1
           pendingSpace = false
           started = true
           textChars += 1
           if (p.link) linkChars += 1
         }
-        i += 1
+      val src = p.src
+      var i = p.a
+      while (i < p.b) {
+        val c = src.charAt(i)
+        if (c == '&') {
+          val r = Entities.refAt(src, i, p.b)
+          if (r != null) {
+            val rep = r._1
+            var j = 0
+            while (j < rep.length) { emit(rep.charAt(j)); j += 1 }
+            i = r._2
+          } else { emit(c); i += 1 }
+        } else { emit(c); i += 1 }
       }
-      if (p.off >= 0) {
-        if (startOff < 0) startOff = p.off
-        endOff = p.off + p.raw.length
+      if (p.real) {
+        if (startOff < 0) startOff = p.a
+        endOff = p.b
       }
     }
-    val norm = sb.toString
+    val norm = new String(buf, 0, len)
     val words = if (norm.isEmpty) 0 else {
       var w = 1; var i = 0
       while (i < norm.length) { if (norm.charAt(i) == ' ') w += 1; i += 1 }
@@ -184,7 +218,7 @@ object Blocks {
   private def subtreeRaw(e: Elem): String = {
     val sb = new java.lang.StringBuilder
     def go(x: Elem): Unit = x.children.foreach {
-      case t: Text => sb.append(t.raw)
+      case t: Text => sb.append(t.src, t.off, t.end)
       case el: Elem if Skipped.contains(el.name) =>
       case el: Elem =>
         if (BlockLevel.contains(el.name) || el.name == "br") sb.append(' ')

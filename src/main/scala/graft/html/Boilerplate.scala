@@ -47,7 +47,8 @@ object Boilerplate {
   }
 
   def extractDecoded(decoded: String, charset: String): HtmlExtract = {
-    val dom = DomBuilder.parse(decoded)
+    // the block rules are purely structural — skip attr materialization
+    val dom = DomBuilder.build(Tokenizer.tokenize(decoded, keepAttrs = false))
     val seg = Blocks.segment(dom)
     val kept = seg.blocks.filter(keep)
     val text = kept.iterator.map(_.text).mkString("\n\n")
@@ -64,8 +65,12 @@ object Boilerplate {
     def find(e: DomBuilder.Elem): Option[String] = {
       e.children.iterator.flatMap {
         case t: DomBuilder.Elem if t.name == "title" =>
-          val raw = t.children.collect { case x: DomBuilder.Text => x.raw }.mkString
-          Some(Blocks.collapse(graft.text.Entities.decode(raw)))
+          val sb = new java.lang.StringBuilder
+          t.children.foreach {
+            case x: DomBuilder.Text => sb.append(x.src, x.off, x.end)
+            case _ =>
+          }
+          Some(Blocks.collapse(graft.text.Entities.decode(sb.toString)))
         case t: DomBuilder.Elem => find(t)
         case _ => None
       }.take(1).toSeq.headOption

@@ -21,8 +21,12 @@ object DomBuilder {
   sealed trait Node
   final case class Elem(name: String, attrs: List[(String, String)],
                         children: ArrayBuffer[Node]) extends Node
-  /** Raw text (entities not decoded); `off` = char offset into decoded source. */
-  final case class Text(raw: String, off: Int) extends Node
+  /** Raw text as a SLICE of the decoded source ([off, end); entities not
+    * decoded) — no per-node copy; downstream scans the slice in place.
+    */
+  final case class Text(src: String, off: Int, end: Int) extends Node {
+    def raw: String = src.substring(off, end)
+  }
 
   val Void: Set[String] = Set("area", "base", "br", "col", "embed", "hr", "img",
     "input", "link", "meta", "param", "source", "track", "wbr")
@@ -49,7 +53,13 @@ object DomBuilder {
     stack += root
 
     @inline def top: Elem = stack(stack.length - 1)
-    def openNames: collection.Seq[String] = stack.map(_.name)
+    // allocation-free open-element probe (stack.map(_.name).contains built a
+    // Seq per start tag — per-tag garbage in the hottest loop)
+    def hasOpen(name: String): Boolean = {
+      var i = stack.length - 1
+      while (i > 0) { if (stack(i).name == name) return true; i -= 1 }
+      false
+    }
 
     def closeOne(): Unit = if (stack.length > 1) stack.remove(stack.length - 1)
 
@@ -61,7 +71,7 @@ object DomBuilder {
 
     def impliedCloses(incoming: String): Unit = {
       // p: any block-level opener closes it
-      if (BlockLevel.contains(incoming) && openNames.contains("p")) {
+      if (BlockLevel.contains(incoming) && hasOpen("p")) {
         // only close if p is above the nearest table cell/structural boundary
         val pIdx = stack.lastIndexWhere(_.name == "p")
         if (pIdx > 0) while (stack.length > pIdx) closeOne()
@@ -93,11 +103,11 @@ object DomBuilder {
         top.children += el
         if (!selfClosing && !Void.contains(name)) stack += el
       case TEnd(name, _, _) =>
-        if (name == "p" && !openNames.contains("p")) {
+        if (name == "p" && !hasOpen("p")) {
           // WHATWG: </p> with no open p implies <p></p>; irrelevant to text — skip
         } else closeUpTo(name)
-      case TText(raw, off, _) =>
-        top.children += Text(raw, off)
+      case TText(src, off, end) =>
+        top.children += Text(src, off, end)
       case _ => // comments/doctype dropped
     }
     root

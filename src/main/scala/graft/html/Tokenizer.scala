@@ -21,22 +21,86 @@ object Tokenizer {
   final case class TStart(name: String, attrs: List[(String, String)],
                           selfClosing: Boolean, pos: Int, end: Int) extends Tok
   final case class TEnd(name: String, pos: Int, end: Int) extends Tok
-  /** Raw text run — entities NOT yet decoded (normalization decodes later). */
-  final case class TText(raw: String, pos: Int, end: Int) extends Tok
+  /** Raw text run — a SLICE of the decoded source (`src`, [pos, end)), not a
+    * substring: text is most of a page's bytes, and copying every run was
+    * the tokenizer's dominant allocation. Entities are NOT yet decoded
+    * (normalization decodes later, scanning the slice in place).
+    */
+  final case class TText(src: String, pos: Int, end: Int) extends Tok {
+    def raw: String = src.substring(pos, end)
+  }
   final case class TComment(pos: Int, end: Int) extends Tok
   final case class TDoctype(pos: Int, end: Int) extends Tok
 
   /** Elements whose content is raw text (no markup inside). */
   val RawText: Set[String] = Set("script", "style", "textarea", "title", "xmp", "noscript")
 
-  def tokenize(s: String): ArrayBuffer[Tok] = {
+  /** Interned lower-case names for the tags web markup actually uses —
+    * resolved from a slice by hash + char compare, so the hot loop
+    * allocates NO name string per tag (per-tag substrings were a measured
+    * chunk of the kernel's garbage; unknown tags still substring).
+    */
+  private val InternedNames: Array[String] = Array(
+    "a", "abbr", "address", "article", "aside", "b", "blockquote", "body",
+    "br", "button", "canvas", "caption", "cite", "code", "col", "datalist",
+    "dd", "div", "dl", "dt", "em", "embed", "fieldset", "figcaption",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+    "header", "hr", "html", "i", "iframe", "img", "input", "label", "li",
+    "link", "main", "meta", "nav", "noscript", "object", "ol", "option",
+    "p", "pre", "s", "script", "section", "select", "small", "source",
+    "span", "strong", "style", "sub", "sup", "svg", "table", "tbody", "td",
+    "template", "textarea", "tfoot", "th", "thead", "title", "tr", "u",
+    "ul", "wbr", "xmp")
+  private val internByHash: java.util.HashMap[Integer, Array[String]] = {
+    val m = new java.util.HashMap[Integer, Array[String]]()
+    InternedNames.foreach { n =>
+      var h = 0; var i = 0
+      while (i < n.length) { h = h * 31 + n.charAt(i); i += 1 }
+      val prev = m.get(h)
+      m.put(h, if (prev == null) Array(n) else prev :+ n)
+    }
+    m
+  }
+  private def equalsLowerSlice(name: String, s: String, a: Int, b: Int): Boolean = {
+    if (name.length != b - a) return false
+    var i = 0
+    while (i < name.length) {
+      if (name.charAt(i) != lowerCh(s.charAt(a + i))) return false
+      i += 1
+    }
+    true
+  }
+  /** Lower-cased name of the slice [a, b) — interned when known. */
+  private def lowerName(s: String, a: Int, b: Int): String = {
+    var h = 0; var i = a
+    while (i < b) { h = h * 31 + lowerCh(s.charAt(i)); i += 1 }
+    val cands = internByHash.get(h)
+    if (cands != null) {
+      var k = 0
+      while (k < cands.length) {
+        if (equalsLowerSlice(cands(k), s, a, b)) return cands(k)
+        k += 1
+      }
+    }
+    lower(s.substring(a, b))
+  }
+
+  /** `keepAttrs = false` parses past attributes without materializing the
+    * name/value strings — the extraction pipeline reads no attribute (the
+    * boilerplate rules are purely structural), so its hot path skips that
+    * garbage; callers that want the attrs (tests, future classifiers) keep
+    * the default.
+    */
+  def tokenize(s: String): ArrayBuffer[Tok] = tokenize(s, keepAttrs = true)
+
+  def tokenize(s: String, keepAttrs: Boolean): ArrayBuffer[Tok] = {
     val out = new ArrayBuffer[Tok](64)
     val n = s.length
     var i = 0
     var textStart = 0
 
     def flushText(upto: Int): Unit =
-      if (upto > textStart) out += TText(s.substring(textStart, upto), textStart, upto)
+      if (upto > textStart) out += TText(s, textStart, upto)
 
     while (i < n) {
       val c = s.charAt(i)
@@ -59,21 +123,21 @@ object Tokenizer {
             flushText(i)
             var j = i + 2
             while (j < n && isNameChar(s.charAt(j))) j += 1
-            val name = lower(s.substring(i + 2, j))
+            val name = lowerName(s, i + 2, j)
             val close = s.indexOf('>', j)
             val end = if (close < 0) n else close + 1
             out += TEnd(name, i, end); i = end; textStart = i
           } else i += 1 // "</3" etc → text
         } else if (isNameStart(c1)) {
           flushText(i)
-          val (tok, next) = parseStartTag(s, i)
+          val (tok, next) = parseStartTag(s, i, keepAttrs)
           out += tok
           i = next; textStart = i
           // rawtext swallow
           if (!tok.selfClosing && RawText.contains(tok.name)) {
             val closeAt = indexOfCi(s, "</" + tok.name, i)
             val contentEnd = if (closeAt < 0) n else closeAt
-            if (contentEnd > i) out += TText(s.substring(i, contentEnd), i, contentEnd)
+            if (contentEnd > i) out += TText(s, i, contentEnd)
             if (closeAt < 0) { i = n; textStart = n }
             else {
               val gt = s.indexOf('>', closeAt)
@@ -88,11 +152,11 @@ object Tokenizer {
     out
   }
 
-  private def parseStartTag(s: String, start: Int): (TStart, Int) = {
+  private def parseStartTag(s: String, start: Int, keepAttrs: Boolean): (TStart, Int) = {
     val n = s.length
     var i = start + 1
     while (i < n && isNameChar(s.charAt(i))) i += 1
-    val name = lower(s.substring(start + 1, i))
+    val name = lowerName(s, start + 1, i)
     var attrs: List[(String, String)] = Nil
     var selfClosing = false
     var done = false
@@ -109,27 +173,29 @@ object Tokenizer {
           val an = i
           while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '=' &&
                  s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
-          val aname = lower(s.substring(an, i))
+          val ae = i
           while (i < n && isWs(s.charAt(i))) i += 1
-          var avalue = ""
+          var vs = -1; var ve = -1
           if (i < n && s.charAt(i) == '=') {
             i += 1
             while (i < n && isWs(s.charAt(i))) i += 1
             if (i < n) {
               val q = s.charAt(i)
               if (q == '"' || q == '\'') {
-                val vs = i + 1
-                val ve = s.indexOf(q, vs)
-                if (ve < 0) { avalue = s.substring(vs, n); i = n }
-                else { avalue = s.substring(vs, ve); i = ve + 1 }
+                vs = i + 1
+                val qe = s.indexOf(q, vs)
+                if (qe < 0) { ve = n; i = n }
+                else { ve = qe; i = qe + 1 }
               } else {
-                val vs = i
+                vs = i
                 while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '>') i += 1
-                avalue = s.substring(vs, i)
+                ve = i
               }
             }
           }
-          if (aname.nonEmpty) attrs = (aname, avalue) :: attrs
+          if (keepAttrs && ae > an)
+            attrs = (lower(s.substring(an, ae)),
+              if (vs >= 0) s.substring(vs, ve) else "") :: attrs
       }
     }
     (TStart(name, attrs.reverse, selfClosing, start, i), i)

@@ -37,29 +37,39 @@ object Entities {
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     while (i >= 0 && i < s.length) {
-      val semi = s.indexOf(';', i + 1)
-      // entity names are short; cap the scan so a lone '&' doesn't search far
-      if (semi > i && semi - i <= 10) {
-        val body = s.substring(i + 1, semi)
-        val rep: String =
-          if (body.startsWith("#x") || body.startsWith("#X")) {
-            val hex = body.substring(2)
-            if (hex.nonEmpty && hex.forall(c => Character.digit(c, 16) >= 0))
-              codePointStr(java.lang.Long.parseLong(hex, 16)) else null
-          } else if (body.startsWith("#")) {
-            val dec = body.substring(1)
-            if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 8)
-              codePointStr(java.lang.Long.parseLong(dec)) else null
-          } else named.getOrElse(body, null)
-        if (rep != null) {
-          sb.append(s, last, i).append(rep)
-          last = semi + 1
-          i = s.indexOf('&', semi + 1)
-        } else i = s.indexOf('&', i + 1)
+      val r = refAt(s, i, s.length)
+      if (r != null) {
+        sb.append(s, last, i).append(r._1)
+        last = r._2
+        i = s.indexOf('&', r._2)
       } else i = s.indexOf('&', i + 1)
     }
     sb.append(s, last, s.length)
     sb.toString
+  }
+
+  /** Character reference starting at `s(i) == '&'`, never looking past
+    * `limit` (exclusive — callers decoding a SLICE of a larger source pass
+    * the slice end, so a `;` beyond the slice stays invisible, exactly as
+    * it was when slices were substrings). Returns (replacement, index just
+    * after the `;`), or null when the run is not a recognized reference.
+    */
+  def refAt(s: String, i: Int, limit: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    // entity names are short; cap the scan so a lone '&' doesn't search far
+    if (semi <= i || semi >= limit || semi - i > 10) return null
+    val body = s.substring(i + 1, semi)
+    val rep: String =
+      if (body.startsWith("#x") || body.startsWith("#X")) {
+        val hex = body.substring(2)
+        if (hex.nonEmpty && hex.forall(c => Character.digit(c, 16) >= 0))
+          codePointStr(java.lang.Long.parseLong(hex, 16)) else null
+      } else if (body.startsWith("#")) {
+        val dec = body.substring(1)
+        if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 8)
+          codePointStr(java.lang.Long.parseLong(dec)) else null
+      } else named.getOrElse(body, null)
+    if (rep == null) null else (rep, semi + 1)
   }
 
   private def codePointStr(cp: Long): String =

@@ -8,13 +8,21 @@ object Micro {
     }
     val htmls = docs.filter(d => !graft.pipeline.Kernel.isPdf(d.payload)).map(_.payload).toArray
     val pdfs = docs.filter(d => graft.pipeline.Kernel.isPdf(d.payload)).map(_.payload).toArray
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread.getId
     def bench(tag: String, n: Int)(f: => Unit): Unit = {
       (1 to 3).foreach(_ => f) // warm
       val reps = 5
+      var alloc = 0L
       val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+        val a0 = tmx.getThreadAllocatedBytes(tid)
+        val t0 = System.nanoTime(); f
+        val dt = (System.nanoTime() - t0) / 1e6
+        alloc = tmx.getThreadAllocatedBytes(tid) - a0
+        dt
       }
-      println(f"$tag%-22s min=${times.min}%8.1f ms  (${times.min * 1000 / n}%6.1f us/doc)")
+      println(f"$tag%-22s min=${times.min}%8.1f ms  (${times.min * 1000 / n}%6.1f us/doc, ${alloc / n / 1024.0}%6.1f KB/doc alloc)")
     }
     bench("kernel-html", htmls.length) { htmls.foreach(graft.pipeline.Kernel.extractOne) }
     bench("kernel-pdf", pdfs.length) { pdfs.foreach(graft.pipeline.Kernel.extractOne) }
