@@ -43,7 +43,12 @@ object SyntheticPages {
   def isPdfDoc(docId: Long): Boolean = docId % 10 == 9
 
   /** ~2%: image-only PDF (no fonts, no text ops) → docType `scanned`,
-    * golden text "" (the reference's scanned class, pdf_analyzer.py:101-105).
+    * golden = the text rasterized INTO the page image, recoverable only by
+    * the pixel-OCR path (the reference's scanned class + Tesseract route,
+    * pdf_analyzer.py:101-105, ocr_adapters.py:49-76). Docs rotate through
+    * skew slopes, gap specks, and a DeviceRGB variant, so deskew, speck
+    * rejection and grayscale conversion are all load-bearing in the golden
+    * gate.
     */
   def isScannedDoc(docId: Long): Boolean = docId % 50 == 17
 
@@ -60,9 +65,22 @@ object SyntheticPages {
   def pageFor(docId: Long, docText: String, lang: String): Spec = {
     val words0 = docText.trim.split("\\s+").toVector.filter(_.nonEmpty)
     if (isScannedDoc(docId)) {
+      val ocrWords = words0.take(24)
+        .map(_.toUpperCase(java.util.Locale.ROOT).filter(c =>
+          (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+        .filter(_.nonEmpty)
+      val lines = (if (ocrWords.isEmpty) Vector(s"SCAN $docId") else ocrWords)
+        .grouped(6).map(_.mkString(" ")).toVector
+      val variant = docId / 50
+      val skew = graft.ocr.GlyphOcr.SkewCandidates(
+        (variant % graft.ocr.GlyphOcr.SkewCandidates.length).toInt)
+      val bmp = graft.ocr.GlyphRender.render(lines, skew,
+        noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt)
+      val rgb = variant % 2 == 1
+      val samples = if (rgb) graft.ocr.GlyphRender.toRgb(bmp) else bmp.gray
       Spec(urlOf(docId), Epoch + docId * 1000L,
-        MiniPdf.build(Seq("q 612 0 0 792 0 0 cm /Im0 Do Q"), withFont = false),
-        "", lang)
+        MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb),
+        lines.mkString("\n"), lang)
     } else if (isBrokenDoc(docId)) {
       val junk = new java.lang.StringBuilder("%PDF-1.7\n")
       var x = docId

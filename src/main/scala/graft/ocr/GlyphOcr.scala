@@ -1,0 +1,199 @@
+package graft.ocr
+
+import GlyphFont._
+
+/** Pixel OCR for image-only ("scanned") PDF pages — the capability the
+  * reference delegates to Tesseract over poppler rasters
+  * (`ocr_adapters.py:49-76`; rasterize :62,144), rebuilt as a deterministic
+  * JVM kernel:
+  *
+  *   1. binarize (fixed threshold 128 — reference E6's adaptive threshold
+  *      collapses to this on clean bimodal scans);
+  *   2. deskew: search vertical-shear slopes, keep the one maximizing the
+  *      row-projection energy Σ count² (reference E7 takes the median
+  *      Hough-line angle — same robust-alignment idea, projection profiles
+  *      instead of Hough);
+  *   3. line segmentation by row-projection bands (bands under 3 px are
+  *      specks, dropped);
+  *   4. glyph segmentation by column runs inside each band; inter-run gaps
+  *      ≥ 5 columns are spaces (gap+2)/6 wide at the font's fixed pitch;
+  *   5. template match against [[GlyphFont]], trimmed to the run's ink box;
+  *      hamming distance ≤ 3 accepts (tolerates specks), else `?`.
+  *
+  * Totally deterministic: integer math, fixed tie-breaks (smallest |slope|,
+  * then smallest slope; lowest char on template ties). Never throws on
+  * arbitrary bytes; garbage yields empty text with zero confidence.
+  */
+object GlyphOcr {
+
+  /** Slopes the deskew search tries (±0.05 in 1/160 steps). The synthetic
+    * renderer draws FROM this same grid, so recovery is integer-exact —
+    * mirroring how the reference only corrects skew beyond 0.5°
+    * (`ocr_adapters.py:246`).
+    */
+  val SkewCandidates: Vector[Double] = (-8 to 8).map(_ * 0.00625).toVector
+
+  final case class OcrResult(text: String, glyphs: Int, matched: Int, skew: Double) {
+    def matchRate: Double = if (glyphs == 0) 0.0 else matched.toDouble / glyphs
+  }
+
+  /** Trimmed templates: (char, width, rows-of-bits masks per column span). */
+  private val templates: Vector[(Char, Int, Array[Int])] = Chars.map { c =>
+    val (lo, hi) = trim(c)
+    val width = hi - lo + 1
+    val colsBits = Array.tabulate(H) { row =>
+      var bits = 0
+      var col = lo
+      while (col <= hi) {
+        if (ink(c, col, row)) bits |= 1 << (col - lo)
+        col += 1
+      }
+      bits
+    }
+    (c, width, colsBits)
+  }.toVector
+
+  def recognize(gray: Array[Byte], w: Int, h: Int): OcrResult = {
+    if (w <= 0 || h <= 0 || gray.length < w * h) return OcrResult("", 0, 0, 0.0)
+    @inline def isInk(x: Int, y: Int): Boolean = (gray(y * w + x) & 0xFF) < 128
+
+    // 2: deskew — maximize Σ rowcount² over shear candidates
+    var bestSkew = 0.0
+    var bestScore = -1L
+    val pad = math.abs(math.round(SkewCandidates.last * (w - 1)).toInt) + 1
+    val counts = new Array[Int](h + 2 * pad)
+    SkewCandidates.foreach { s =>
+      java.util.Arrays.fill(counts, 0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (isInk(x, y)) counts(y - GlyphRender.shift(s, x) + pad) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var score = 0L
+      var i = 0
+      while (i < counts.length) { val c = counts(i); score += c.toLong * c; i += 1 }
+      val better = score > bestScore ||
+        (score == bestScore && (math.abs(s) < math.abs(bestSkew) ||
+          (math.abs(s) == math.abs(bestSkew) && s < bestSkew)))
+      if (better) { bestScore = score; bestSkew = s }
+    }
+
+    // 3: un-shear into a binary grid (integer-exact inverse of the shear)
+    val gh = h + 2 * pad
+    val grid = new Array[Boolean](w * gh)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (isInk(x, y)) grid((y - GlyphRender.shift(bestSkew, x) + pad) * w + x) = true
+        x += 1
+      }
+      y += 1
+    }
+    @inline def rowHasInk(r: Int): Boolean = {
+      var x = 0
+      while (x < w) { if (grid(r * w + x)) return true; x += 1 }
+      false
+    }
+
+    // line bands
+    val bands = Vector.newBuilder[(Int, Int)]
+    var r = 0
+    while (r < gh) {
+      if (rowHasInk(r)) {
+        var e = r
+        while (e + 1 < gh && rowHasInk(e + 1)) e += 1
+        if (e - r + 1 >= 3) bands += ((r, math.min(e, r + H - 1)))
+        r = e + 1
+      } else r += 1
+    }
+
+    val sb = new java.lang.StringBuilder
+    var glyphs = 0
+    var matched = 0
+    bands.result().zipWithIndex.foreach { case ((top, bot), bi) =>
+      if (bi > 0) sb.append('\n')
+      @inline def colInk(x: Int): Boolean = {
+        var rr = top
+        while (rr <= bot) { if (grid(rr * w + x)) return true; rr += 1 }
+        false
+      }
+      var prevEnd = -1
+      var x = 0
+      while (x < w) {
+        if (colInk(x)) {
+          var e = x
+          while (e + 1 < w && colInk(e + 1)) e += 1
+          if (prevEnd >= 0) {
+            val gap = x - prevEnd - 1
+            if (gap >= 5) { var k = (gap + 2) / 6; while (k > 0) { sb.append(' '); k -= 1 } }
+          }
+          sb.append(matchGlyph(grid, w, top, bot, x, e) match {
+            case Some(c) => matched += 1; c
+            case None => '?'
+          })
+          glyphs += 1
+          prevEnd = e
+          x = e + 1
+        } else x += 1
+      }
+    }
+    OcrResult(sb.toString, glyphs, matched, bestSkew)
+  }
+
+  /** Nearest trimmed template of the run [x0, x1] × [top, bot]; accept at
+    * hamming ≤ 1 — sound because every same-width template pair is ≥ 3
+    * apart (OcrSpec gate), so a ≤ 1-bit corruption is still strictly
+    * nearest to the true glyph. Ties: lowest char wins (deterministic).
+    */
+  private def matchGlyph(grid: Array[Boolean], w: Int, top: Int, bot: Int,
+                         x0: Int, x1: Int): Option[Char] = {
+    val width = x1 - x0 + 1
+    if (width > W) return None
+    val runBits = Array.tabulate(H) { row =>
+      val r = top + row
+      var bits = 0
+      if (r <= bot) {
+        var col = 0
+        while (col < width) {
+          if (grid(r * w + x0 + col)) bits |= 1 << col
+          col += 1
+        }
+      }
+      bits
+    }
+    var best: Char = 0
+    var bestDist = Int.MaxValue
+    templates.foreach { case (c, tw, tbits) =>
+      if (tw == width) {
+        var d = 0
+        var row = 0
+        while (row < H && d < bestDist) {
+          d += java.lang.Integer.bitCount(runBits(row) ^ tbits(row))
+          row += 1
+        }
+        if (d < bestDist) { bestDist = d; best = c }
+      }
+    }
+    if (bestDist <= 1) Some(best) else None
+  }
+
+  /** RGB (3 bytes/px, interleaved) → 8-bit luminance (reference E4's
+    * grayscale convert, integer 299/587/114 weights).
+    */
+  def rgbToGray(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < w * h) {
+      val lum = ((rgb(3 * i) & 0xFF) * 299 + (rgb(3 * i + 1) & 0xFF) * 587 +
+        (rgb(3 * i + 2) & 0xFF) * 114) / 1000
+      out(i) = lum.toByte
+      i += 1
+    }
+    out
+  }
+}

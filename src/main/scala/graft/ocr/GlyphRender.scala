@@ -1,0 +1,99 @@
+package graft.ocr
+
+import GlyphFont._
+
+/** Deterministic "scanner" for the synthetic corpus: rasterizes text lines
+  * with [[GlyphFont]] at fixed pitch, applies a vertical shear (the
+  * integer-exact stand-in for page skew) and salt-and-pepper specks in the
+  * inter-line gaps — the input class the reference feeds through
+  * poppler+OpenCV+Tesseract (`ocr_adapters.py:49-76,170-258`). Pure
+  * function of its arguments; every byte reproducible.
+  */
+object GlyphRender {
+
+  val Margin = 4
+  /** White background / black ink, 8-bit gray. */
+  val Bg: Byte = 0xFF.toByte
+  val Ink: Byte = 0x00.toByte
+
+  /** Rendered page: `gray` is row-major w×h. */
+  final case class Bitmap(gray: Array[Byte], w: Int, h: Int)
+
+  /** Vertical-shear shift of column x at slope `s` (shared with the
+    * recognizer's un-shear — integer-exact inverse).
+    */
+  @inline def shift(s: Double, x: Int): Int = math.round(s * x).toInt
+
+  def render(lines: Seq[String], skew0: Double = 0.0, noiseSeed: Long = 0L,
+             noisePerGap: Int = 0): Bitmap = {
+    // snap to the recognizer's candidate grid BIT-EXACTLY (the same Double,
+    // not just the same value): round(s*x) flips at half-integer products,
+    // so a slope differing in the last ulp would shear one pixel row apart
+    // from what the deskew search can undo
+    val skew =
+      if (skew0 == 0.0) 0.0
+      else GlyphOcr.SkewCandidates.minBy(c => math.abs(c - skew0))
+    val cols = math.max(1, if (lines.isEmpty) 1 else lines.map(_.length).max)
+    val w = 2 * Margin + cols * Pitch
+    val hl = 2 * Margin + math.max(lines.length, 1) * LinePitch
+    val maxShift = shift(skew, w - 1)
+    val base = math.max(0, -maxShift) // keep sheared y >= 0 for negative slopes
+    val h = hl + math.abs(maxShift) + 1
+    val gray = Array.fill[Byte](w * h)(Bg)
+
+    @inline def put(x: Int, yLogical: Int): Unit = {
+      val y = yLogical + shift(skew, x) + base
+      if (x >= 0 && x < w && y >= 0 && y < h) gray(y * w + x) = Ink
+    }
+
+    lines.zipWithIndex.foreach { case (line, li) =>
+      val top = Margin + li * LinePitch
+      var k = 0
+      while (k < line.length) {
+        val c = line.charAt(k)
+        var row = 0
+        while (row < H) {
+          var col = 0
+          while (col < W) {
+            if (ink(c, col, row)) put(Margin + k * Pitch + col, top + row)
+            col += 1
+          }
+          row += 1
+        }
+        k += 1
+      }
+    }
+
+    // specks in safe logical rows only (gap middles + outer margin rows):
+    // ≥ 2 rows from every glyph band, so the recognizer must reject them by
+    // band height, never by luck
+    if (noisePerGap > 0) {
+      val safeRows = Seq(1, hl - 2) ++ lines.indices.dropRight(1)
+        .map(li => Margin + li * LinePitch + H + 1)
+      var s = noiseSeed
+      safeRows.foreach { row =>
+        var j = 0
+        while (j < noisePerGap) {
+          s = graft.ops.Dedup.splitmix64(s + 0x9E37L * j + row)
+          put(java.lang.Long.remainderUnsigned(s, w).toInt, row)
+          j += 1
+        }
+      }
+    }
+    Bitmap(gray, w, h)
+  }
+
+  /** Gray bitmap as interleaved RGB (each channel = the gray value) — the
+    * 3-component variant that exercises the recognizer's RGB→luminance
+    * conversion (reference E4, `ocr_adapters.py:180-184`).
+    */
+  def toRgb(b: Bitmap): Array[Byte] = {
+    val out = new Array[Byte](b.gray.length * 3)
+    var i = 0
+    while (i < b.gray.length) {
+      out(3 * i) = b.gray(i); out(3 * i + 1) = b.gray(i); out(3 * i + 2) = b.gray(i)
+      i += 1
+    }
+    out
+  }
+}

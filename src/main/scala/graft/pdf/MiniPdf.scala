@@ -259,6 +259,40 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Image-only ("scanned") page: no fonts, no text operators — a single
+    * full-page image XObject carrying 8-bit DeviceGray (or interleaved
+    * DeviceRGB) samples, FlateDecoded. The shape the reference rasterizes
+    * and OCRs (`ocr_adapters.py:49-76`); here the OCR path reads the
+    * samples directly. Object layout: 1 catalog, 2 pages, 3 page,
+    * 4 content, 5 image.
+    */
+  def buildScanned(samples: Array[Byte], w: Int, h: Int, rgb: Boolean = false,
+                   padTo: Int = 1024): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def wr(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    wr("%PDF-1.7\n")
+    wr("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    wr("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    wr("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    val content = s"q $w 0 0 $h 72 ${720 - h} cm /Im0 Do Q"
+    wr(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    val packed = deflate(samples)
+    val cs = if (rgb) "/DeviceRGB" else "/DeviceGray"
+    wr(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      s"/ColorSpace $cs /BitsPerComponent 8 /Filter /FlateDecode " +
+      s"/Length ${packed.length} >>\nstream\n")
+    out.write(packed)
+    wr("\nendstream\nendobj\n")
+    wr("trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    if (out.size() < padTo) {
+      wr("%")
+      while (out.size() < padTo - 1) out.write('x')
+      wr("\n")
+    }
+    out.toByteArray
+  }
+
   /** Content stream laying out a rows×cols grid of cell texts at fixed
     * column x positions (table-detection fixtures).
     */

@@ -58,28 +58,50 @@ object PdfExtractor {
       if (ops.sawFontOp) sawFont = true
       images += ops.imageDraws
       if (resourcesHaveFont(page, objs)) sawFont = true
-      (idx, ops)
+      (idx, ops, page)
     }
 
     // a filter we cannot decode on every page with no text at all → error
     if (filterError != null && pageResults.forall(_._2.spans.isEmpty))
       return Left(filterError)
 
+    // OCR (E1/E2): a page with NO text spans but image XObjects goes
+    // through the pixel-OCR kernel — the reference's rasterize+Tesseract
+    // path (ocr_adapters.py:49-76), here reading the embedded samples
+    // directly. Pages that yield no glyphs stay empty, as before.
+    val ocrPages: Map[Int, graft.ocr.GlyphOcr.OcrResult] =
+      pageResults.iterator.collect {
+        case (idx, ops, page) if ops.spans.isEmpty =>
+          ocrPage(page, objs).map(idx -> _)
+      }.flatten.toMap
+
     val sb = new java.lang.StringBuilder
     val allSpans = Vector.newBuilder[SpanRow]
     var off = 0
-    pageResults.foreach { case (idx, ops) =>
+    var spanTextLen = 0 // span-path text only (classification input)
+    pageResults.foreach { case (idx, ops, _) =>
       if (idx > 0) { sb.append("\n\n"); off += 2 }
-      val pt = SpanLayout.layoutPage(idx, ops.spans, off)
-      sb.append(pt.text)
-      off += pt.text.length
-      allSpans ++= pt.spans
+      if (ops.spans.nonEmpty) {
+        val pt = SpanLayout.layoutPage(idx, ops.spans, off)
+        sb.append(pt.text)
+        off += pt.text.length
+        spanTextLen += pt.text.length
+        allSpans ++= pt.spans
+      } else ocrPages.get(idx).foreach { res =>
+        var lineOff = off
+        res.text.split("\n", -1).foreach { line =>
+          allSpans += SpanRow(idx, lineOff, line.length)
+          lineOff += line.length + 1
+        }
+        sb.append(res.text)
+        off += res.text.length
+      }
     }
     val text = sb.toString
     // tables: drawn-rule grids first (pdfplumber "lines" strategy), then
     // span-alignment detection over the spans OUTSIDE every rule grid — one
     // table is detected by exactly one strategy
-    val tables: Vector[TableRow] = pageResults.flatMap { case (_, ops) =>
+    val tables: Vector[TableRow] = pageResults.flatMap { case (_, ops, _) =>
       val ruled = RuleGrid.detect(ops.rules, ops.spans)
       val outside = ops.spans.filterNot(s => ruled.exists {
         case (_, (x0, y0, x1, y1)) =>
@@ -89,9 +111,13 @@ object PdfExtractor {
     }.toVector
 
     val pageCount = pages.length
+    // classification reads the PRE-OCR metrics (the reference classifies
+    // before extraction and routes scanned docs TO the OCR engine,
+    // pdf_analyzer.py:96-122 + routers/documents.py:226-236) — OCR output
+    // must not reclassify the doc as native text
     val pagesWithText = pageResults.count(_._2.spans.nonEmpty)
     val extractableRatio = pagesWithText.toDouble / pageCount
-    val avgTextPerPage = text.length.toDouble / pageCount
+    val avgTextPerPage = spanTextLen.toDouble / pageCount
     val imgRatio = images.toDouble / pageCount
     val tableRatio = tables.length.toDouble / pageCount
 
@@ -104,7 +130,9 @@ object PdfExtractor {
       else if (!sawFont && pagesWithText == 0) "scanned"
       else "mixed"
 
-    val confidence = 100.0 * pagesWithText / pageCount
+    // E12: span pages score 1, OCR pages their glyph match rate
+    val confidence = 100.0 *
+      (pagesWithText + ocrPages.valuesIterator.map(_.matchRate).sum) / pageCount
     Right(PdfDoc(text, allSpans.result(), tables, pageCount, confidence, docType, docInfo(objs)))
   }
 
@@ -190,4 +218,39 @@ object PdfExtractor {
   private def resourcesHaveFont(page: PDict, objs: Objects): Boolean =
     objs.dict(page.m.getOrElse("Resources", PNull))
       .exists(r => r.m.contains("Font"))
+
+  /** Run pixel OCR over a page's image XObjects (8-bit DeviceGray/DeviceRGB,
+    * any supported stream filter). Multiple images concatenate in resource
+    * order; None when no image yields glyphs.
+    */
+  private def ocrPage(page: PDict, objs: Objects): Option[graft.ocr.GlyphOcr.OcrResult] = {
+    val imgs: Seq[PStream] = objs.dict(page.m.getOrElse("Resources", PNull))
+      .flatMap(r => objs.dict(r.m.getOrElse("XObject", PNull)))
+      .map(_.m.toSeq.sortBy(_._1).flatMap { case (_, v) =>
+        objs.resolve(v) match {
+          case s: PStream
+            if objs.name(s.dict.m.getOrElse("Subtype", PNull)).contains("Image") => Some(s)
+          case _ => None
+        }
+      }).getOrElse(Seq.empty)
+    val results = imgs.flatMap { s =>
+      val d = s.dict.m
+      val w = objs.num(d.getOrElse("Width", PNull)).map(_.toInt).getOrElse(0)
+      val h = objs.num(d.getOrElse("Height", PNull)).map(_.toInt).getOrElse(0)
+      val bits = objs.num(d.getOrElse("BitsPerComponent", PNull)).map(_.toInt).getOrElse(0)
+      val cs = objs.name(d.getOrElse("ColorSpace", PNull)).getOrElse("")
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) || bits != 8) None
+      else decodeStream(s, objs).toOption.flatMap { raw =>
+        val gray =
+          if (cs == "DeviceGray" && raw.length >= w * h) Some(raw)
+          else if (cs == "DeviceRGB" && raw.length >= 3 * w * h)
+            Some(graft.ocr.GlyphOcr.rgbToGray(raw, w, h))
+          else None // 1-bit/CMYK/ICC images: no OCR, page stays empty
+        gray.map(g => graft.ocr.GlyphOcr.recognize(g, w, h))
+      }
+    }.filter(_.glyphs > 0)
+    if (results.isEmpty) None
+    else Some(results.reduce((a, b) => graft.ocr.GlyphOcr.OcrResult(
+      a.text + "\n" + b.text, a.glyphs + b.glyphs, a.matched + b.matched, a.skew)))
+  }
 }

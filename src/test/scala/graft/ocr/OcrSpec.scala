@@ -1,0 +1,110 @@
+package graft.ocr
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ocr.GlyphFont._
+
+class OcrSpec extends AnyFunSuite {
+
+  test("font: same-width trimmed templates are pairwise distinct (hamming ≥ 3)") {
+    // nearest-template matching at accept-threshold 1 is sound iff no two
+    // glyphs of equal trimmed width are within 2 bit flips: a ≤1-bit
+    // corruption is then strictly nearest to the true glyph
+    val ts = Chars.map { c =>
+      val (lo, hi) = trim(c)
+      val bits = for (row <- 0 until H; col <- lo to hi) yield ink(c, col, row)
+      (c, hi - lo + 1, bits)
+    }
+    for (a <- ts; b <- ts if a._1 < b._1 && a._2 == b._2) {
+      val d = a._3.zip(b._3).count { case (x, y) => x != y }
+      assert(d >= 3, s"glyphs ${a._1}/${b._1} too close: hamming $d")
+    }
+  }
+
+  test("clean render → exact recognition") {
+    val lines = Vector("HELLO WORLD 42", "SECOND LINE 2026", "ABCDEFGHIJKLM",
+      "NOPQRSTUVWXYZ 0123456789")
+    val bmp = GlyphRender.render(lines)
+    val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"))
+    assert(r.matched == r.glyphs)
+    assert(r.skew == 0.0)
+  }
+
+  test("every skew candidate is recovered and un-sheared exactly") {
+    val lines = Vector("SKEWED PAGE 7", "WITH TWO LINES")
+    GlyphOcr.SkewCandidates.foreach { s =>
+      val bmp = GlyphRender.render(lines, skew0 = s)
+      val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+      assert(r.text == lines.mkString("\n"), s"skew $s broke recognition: '${r.text}'")
+      assert(r.skew == s, s"estimated ${r.skew}, rendered $s")
+      assert(r.matched == r.glyphs)
+    }
+  }
+
+  test("gap specks are rejected by band height, not matched as glyphs") {
+    val lines = Vector("NOISY SCAN 3", "MORE TEXT HERE")
+    val bmp = GlyphRender.render(lines, skew0 = 0.025, noiseSeed = 99L, noisePerGap = 4)
+    val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"), s"specks corrupted: '${r.text}'")
+    assert(r.matchRate == 1.0)
+  }
+
+  test("RGB samples convert to luminance and recognize identically") {
+    val lines = Vector("COLOR SCAN 88")
+    val bmp = GlyphRender.render(lines, skew0 = -0.0375, noiseSeed = 5L, noisePerGap = 2)
+    val gray = GlyphOcr.rgbToGray(GlyphRender.toRgb(bmp), bmp.w, bmp.h)
+    val r = GlyphOcr.recognize(gray, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"))
+  }
+
+  test("recognize is total on garbage and yields zero confidence") {
+    assert(GlyphOcr.recognize(Array.emptyByteArray, 0, 0).glyphs == 0)
+    assert(GlyphOcr.recognize(Array.fill[Byte](100)(0x40), 10, 10).matchRate == 0.0)
+    // all-black page: one giant band, unmatched runs → '?', never a throw
+    val black = GlyphOcr.recognize(Array.fill[Byte](400)(0), 20, 20)
+    assert(black.matched == 0)
+    // deterministic splitmix noise image
+    val rnd = Array.tabulate[Byte](64 * 64)(i => graft.ops.Dedup.splitmix64(i).toByte)
+    val r = GlyphOcr.recognize(rnd, 64, 64)
+    assert(r.glyphs >= 0) // total, no throw
+  }
+
+  test("scanned PDF end-to-end: image XObject → OCR text, scanned class") {
+    val lines = Vector("FACTURA 2024", "TOTAL 99 EUROS")
+    Seq(false, true).foreach { rgb =>
+      val bmp = GlyphRender.render(lines, skew0 = 0.0125, noiseSeed = 7L, noisePerGap = 2)
+      val samples = if (rgb) GlyphRender.toRgb(bmp) else bmp.gray
+      val pdf = graft.pdf.MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb)
+      val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+      assert(doc.docType == "scanned", s"rgb=$rgb type=${doc.docType}")
+      assert(doc.text == lines.mkString("\n"), s"rgb=$rgb text='${doc.text}'")
+      assert(doc.confidence == 100.0)
+      assert(doc.spans.length == 2) // one span per OCR line
+    }
+  }
+
+  test("image-only PDF without decodable samples keeps the old empty degrade") {
+    // 1-bit image: documented no-OCR case — empty text, scanned class
+    val pdf = graft.pdf.MiniPdf.buildScanned(Array.fill[Byte](8)(0x55), 8, 8)
+    // declare 1 bit per component by patching the dict bytes
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/BitsPerComponent 8", "/BitsPerComponent 1")
+    val doc = graft.pdf.PdfExtractor.extract(
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).toOption.get
+    assert(doc.docType == "scanned")
+    assert(doc.text == "")
+    assert(doc.confidence == 0.0)
+  }
+
+  test("synthetic scanned corpus pages OCR back to their golden byte-exactly") {
+    val ids = Seq(17L, 67L, 117L, 167L, 217L, 267L)
+    ids.foreach { id =>
+      val spec = graft.io.SyntheticPages.pageFor(id,
+        "palabras de prueba numero " + id + " con mas contenido util aqui", "es")
+      val res = graft.pipeline.Kernel.extractOne(spec.payload)
+      assert(res.docType == "scanned", s"id=$id type=${res.docType}")
+      assert(res.status == "processed")
+      assert(res.text == spec.golden, s"id=$id got '${res.text}' want '${spec.golden}'")
+    }
+  }
+}

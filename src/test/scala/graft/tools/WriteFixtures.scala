@@ -16,6 +16,10 @@ object WriteFixtures {
     Files.write(dir.resolve("two-page-flate.pdf"), pdf)
     val scanned = MiniPdf.build(Seq("q 612 0 0 792 0 0 cm /Im0 Do Q"), withFont = false)
     Files.write(dir.resolve("scanned.pdf"), scanned)
+    val ocrBmp = graft.ocr.GlyphRender.render(
+      Seq("ESCANEADO 123", "SEGUNDA LINEA"), skew0 = 0.025, noiseSeed = 3L, noisePerGap = 2)
+    Files.write(dir.resolve("scanned-ocr.pdf"),
+      MiniPdf.buildScanned(ocrBmp.gray, ocrBmp.w, ocrBmp.h))
     val bad = "%PDF-1.7\ngarbage".getBytes("ISO-8859-1") ++ Array.fill[Byte](1200)('x')
     Files.write(dir.resolve("broken.pdf"), bad)
     val type0 = MiniPdf.buildType0(
