@@ -261,6 +261,50 @@ object SparkEntry {
     "t05_curation" -> ((s, dir) => {
       graft.ops.Curation.curate(documents(s, dir)).orderBy("doc_id")
     }),
+    // PII redaction before training. The synthetic corpus carries no PII,
+    // so the query PLANTS it deterministically from doc_id (same trick as
+    // s04's planted near-dup pairs): docs with id%5==0 get an email,
+    // id%7==0 an IPv4, id%11==0 a phone — the oracle plants identically and
+    // both sides count + scrub, so zero-match trivial passes are impossible.
+    "t06_pii_scrub" -> ((s, dir) => {
+      import graft.ops.TextStats._
+      val idStr = col("doc_id").cast("string")
+      val planted = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" mail user"), idStr, lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 4, "0"))).otherwise(lit(""))
+        ).as("ptext"))
+      planted.select(col("doc_id"),
+        emailCount(col("ptext")).as("email_cnt"),
+        phoneCount(col("ptext")).as("phone_cnt"),
+        ipCount(col("ptext")).as("ip_cnt"),
+        scrubPii(col("ptext")).as("scrubbed"))
+    }),
+    // Gopher-style intra-doc repetition: dup n-gram fraction at n=2,3 plus
+    // the integer gram counts (hash-exact evidence; the ratios are rounded)
+    "t07_repetition" -> ((s, dir) => {
+      import graft.ops.TextStats._
+      documents(s, dir).select(col("doc_id"),
+        size(wordNgrams(col("text"), 2)).as("n2_total"),
+        size(array_distinct(wordNgrams(col("text"), 2))).as("n2_distinct"),
+        round(dupNgramRatio(col("text"), 2), 6).as("dup2_ratio"),
+        size(wordNgrams(col("text"), 3)).as("n3_total"),
+        size(array_distinct(wordNgrams(col("text"), 3))).as("n3_distinct"),
+        round(dupNgramRatio(col("text"), 3), 6).as("dup3_ratio"))
+    }),
+    // deterministic stratified sample (language mixing): keep iff
+    // splitmix64(doc_id) mod 100 < rate(lang) — run-, partitioning- and
+    // retry-stable, re-derivable by the SQL oracle
+    "t08_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(documents(s, dir), "doc_id", "lang")
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("stratum", "lang")
+        .orderBy("doc_id")
+    }),
     "d01_exact_dup_groups" -> ((s, dir) => {
       documents(s, dir)
         .groupBy(sha2(col("text").cast("binary"), 256).as("content_hash"))
@@ -833,6 +877,60 @@ object SparkEntry {
         |        ELSE 'keep' END = 'keep') AS keep
         |FROM langed f LEFT JOIN losers lo ON f.doc_id = lo.loser_id
         |ORDER BY f.doc_id""".stripMargin,
+    // plants the same deterministic PII the Spark query plants (id%5 email,
+    // id%7 IPv4, id%11 phone), then counts and scrubs with the same regexes
+    "t06_pii_scrub" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ptext, '${graft.ops.TextStats.EmailRe}')) AS INTEGER) AS email_cnt,
+        |  CAST(len(regexp_extract_all(ptext, '${graft.ops.TextStats.PhoneRe}')) AS INTEGER) AS phone_cnt,
+        |  CAST(len(regexp_extract_all(ptext, '${graft.ops.TextStats.Ipv4Re}')) AS INTEGER) AS ip_cnt,
+        |  regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '${graft.ops.TextStats.EmailRe}', '<EMAIL>', 'g'),
+        |    '${graft.ops.TextStats.PhoneRe}', '<PHONE>', 'g'),
+        |    '${graft.ops.TextStats.Ipv4Re}', '<IP>', 'g') AS scrubbed
+        |FROM planted""".stripMargin,
+    // same tokenization as t05's shingle CTE; n-gram lists rebuilt by index
+    "t07_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1]) END AS g2,
+        |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS g3
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(g2) AS INTEGER) AS n2_total,
+        |  CAST(len(list_distinct(g2)) AS INTEGER) AS n2_distinct,
+        |  round(CASE WHEN len(g2) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE END, 6) AS dup2_ratio,
+        |  CAST(len(g3) AS INTEGER) AS n3_total,
+        |  CAST(len(list_distinct(g3)) AS INTEGER) AS n3_distinct,
+        |  round(CASE WHEN len(g3) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)::DOUBLE END, 6) AS dup3_ratio
+        |FROM g""".stripMargin,
+    // the keep decision re-derived: splitmix64(doc_id) mod 100 < rate(lang)
+    "t08_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE (${sm64("doc_id")}) % 100 <
+        |  CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 80 WHEN 'de' THEN 80
+        |            WHEN 'fr' THEN 80 WHEN 'zh' THEN 30 ELSE 5 END
+        |ORDER BY doc_id""".stripMargin,
     // injectivity check: xxhash64 itself is not reproducible in DuckDB, but
     // "one fingerprint per distinct normalized text" is
     "t04_fingerprint" ->

@@ -98,6 +98,58 @@ object TextStats {
     when(cjkRatio(text) > 0.05, lit("zh")).otherwise(byStopwords)
   }
 
+  // --- PII scrubbing (training-data redaction pass) ----------------------
+
+  /** Regexes shared verbatim with the DuckDB oracle (Java/RE2-common
+    * subset: no lookaround, no backrefs, ASCII `\b`).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d-]{7,14}\\d"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+  def ipCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+
+  /** Redact emails → `<EMAIL>`, then phones → `<PHONE>`, then IPv4s →
+    * `<IP>`. Order matters only in that the placeholders contain no
+    * digits/@, so later passes cannot re-match earlier redactions. A pure
+    * codegen'd regexp_replace chain — inlines into the scan, no shuffle.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  // --- intra-document repetition (Gopher-style dup n-gram fraction) ------
+
+  /** Word n-grams of the document (empty below n words); tokenization
+    * identical to the shingle pass (`[^\p{L}\p{N}]+` split, lowercased).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val words = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** Fraction of n-gram occurrences repeating an earlier one:
+    * `1 - distinct/total` (0 for docs with no n-grams). The intra-doc
+    * analogue of corpus dedup — high values flag boilerplate loops and
+    * generator glitches before training (Gopher repetition filters).
+    */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g).cast("double"))
+  }
+
   /** One call = the full per-document text-analysis projection. */
   def analyze(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)

@@ -19,21 +19,39 @@ import PdfObjects._
   */
 object FontDecode {
 
-  /** Decoder for one font: fixed code width + code→text map. */
-  final case class FontDec(codeLen: Int, toUni: Map[Int, String]) {
+  /** Decoder for one font: fixed code width + code→text map.
+    * `pairSurrogates` is set for the predefined UniXX-UTF16-H/V encodings,
+    * whose 2-byte codes are UTF-16BE units: a high/low surrogate unit pair
+    * decodes to one supplementary code point (UCS2 variants never emit
+    * surrogates, so the flag stays off and a stray surrogate is U+FFFD).
+    */
+  final case class FontDec(codeLen: Int, toUni: Map[Int, String],
+                           pairSurrogates: Boolean = false) {
     def decode(bytes: Array[Byte]): String = {
       val sb = new java.lang.StringBuilder(bytes.length)
       var i = 0
       val n = bytes.length
+      def codeAt(p: Int): Int = {
+        var code = 0
+        var k = 0
+        while (k < codeLen) { code = (code << 8) | (bytes(p + k) & 0xFF); k += 1 }
+        code
+      }
       while (i < n) {
         if (i + codeLen <= n) {
-          var code = 0
-          var k = 0
-          while (k < codeLen) { code = (code << 8) | (bytes(i + k) & 0xFF); k += 1 }
+          val code = codeAt(i)
           toUni.get(code) match {
             case Some(s) => sb.append(s)
             case None =>
-              if (code >= 0x20 && code <= 0xFFFD && !(code >= 0xD800 && code <= 0xDFFF))
+              if (pairSurrogates && code >= 0xD800 && code <= 0xDBFF &&
+                  i + 2 * codeLen <= n) {
+                val next = codeAt(i + codeLen)
+                if (next >= 0xDC00 && next <= 0xDFFF) {
+                  sb.append(code.toChar).append(next.toChar)
+                  i += codeLen // the low unit is consumed too
+                } else sb.append('\uFFFD')
+              }
+              else if (code >= 0x20 && code <= 0xFFFD && !(code >= 0xD800 && code <= 0xDFFF))
                 sb.append(code.toChar)
               else if (code != 0) sb.append('\uFFFD')
           }
@@ -74,10 +92,20 @@ object FontDecode {
                   else 1
                 Some(fname -> FontDec(cl, m))
               case None if subtype.contains("Type0") =>
-                // no /ToUnicode: for Identity-H/V the codes are glyph ids —
-                // reverse the embedded TrueType's cmap when one is present;
-                // empty map keeps the documented BMP-codepoint degrade
-                Some(fname -> FontDec(2, identityGidMap(f, objs)))
+                objs.name(f.m.getOrElse("Encoding", PNull)) match {
+                  case Some(PredefUnicodeCMap(variant, _)) =>
+                    // predefined UniXX-UCS2/UTF16-H/V CMaps (PDF 1.7 §9.7.5.2,
+                    // Adobe CMap resources): show-string codes ARE UTF-16BE
+                    // units, so text extraction needs no external CMap table —
+                    // decode codes directly (surrogate pairing for UTF16)
+                    Some(fname -> FontDec(2, Map.empty,
+                      pairSurrogates = variant == "UTF16"))
+                  case _ =>
+                    // no /ToUnicode: for Identity-H/V the codes are glyph ids —
+                    // reverse the embedded TrueType's cmap when one is present;
+                    // empty map keeps the documented BMP-codepoint degrade
+                    Some(fname -> FontDec(2, identityGidMap(f, objs)))
+                }
               case None =>
                 // simple font: /Encoding /Differences remaps single bytes
                 differencesMap(f, objs) match {
@@ -89,6 +117,16 @@ object FontDecode {
         }
     }
   }
+
+  /** The predefined CMap names whose codes are Unicode: UniGB (Adobe-GB1),
+    * UniCNS (Adobe-CNS1), UniJIS/UniJISX0213 (Adobe-Japan1), UniKS
+    * (Adobe-Korea1/KR), UniAKR (Adobe-KR) × UCS2|UTF16 × H|V. CID-keyed
+    * predefined CMaps (GBK-EUC-H, 90ms-RKSJ-H, …) are NOT matched — their
+    * codes are legacy charset bytes needing the external CMap tables, and
+    * they keep the documented empty-map degrade.
+    */
+  private val PredefUnicodeCMap =
+    "Uni(?:GB|CNS|JIS|JISX0213|KS|AKR)-(UCS2|UTF16)-([HV])".r
 
   /** Identity-H/V Type0 without /ToUnicode: show-string codes are CIDs and
     * (with /CIDToGIDMap /Identity or absent) glyph ids; the descendant's

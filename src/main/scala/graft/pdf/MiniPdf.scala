@@ -127,6 +127,37 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Type0 font with a named predefined CMap encoding (e.g. UniJIS-UCS2-H,
+    * UniGB-UTF16-H) and NO /ToUnicode — the CJK shape produced by writers
+    * that rely on the viewer's bundled Adobe CMap resources. For the
+    * UniXX-UCS2/UTF16 family the show-string codes are UTF-16BE units.
+    */
+  def buildType0Predef(shows: Seq[(String, Int, Int)], encoding: String,
+                       padTo: Int = 1024): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-CJK " +
+      s"/Encoding /$encoding /DescendantFonts [ 6 0 R ] >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    val content = shows.map { case (hex, x, y) =>
+      s"BT /F1 12 Tf $x $y Td <$hex> Tj ET"
+    }.mkString("\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    w("6 0 obj\n<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synthetic-CJK " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 7 >> >>\nendobj\n")
+    w("trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    if (out.size() < padTo) {
+      w("%")
+      while (out.size() < padTo - 1) out.write('x')
+      w("\n")
+    }
+    out.toByteArray
+  }
+
   /** Identity-H Type0 WITHOUT /ToUnicode but WITH an embedded TrueType
     * program (/FontFile2) whose `cmap` carries the unicode→gid mapping —
     * the composite-font shape real-world subset-embedded PDFs use.

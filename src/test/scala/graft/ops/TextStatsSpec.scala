@@ -67,4 +67,58 @@ class TextStatsSpec extends AnyFunSuite {
     assert(a == b)
     assert(a != c)
   }
+
+  test("PII counts: email, phone, IPv4") {
+    val t = "write bob.smith+x@mail.example.org or call +1-555-0142 from 10.2.0.1"
+    assert(one(t, TextStats.emailCount(col("t"))) == 1)
+    assert(one(t, TextStats.phoneCount(col("t"))) == 1)
+    assert(one(t, TextStats.ipCount(col("t"))) == 1)
+    assert(one("no pii here", TextStats.emailCount(col("t"))) == 0)
+  }
+
+  test("scrubPii redacts all three and placeholders never re-match") {
+    val t = "a@b.co and 1.2.3.4 and +12-3456-7890 end"
+    val s = one(t, TextStats.scrubPii(col("t"))).toString
+    assert(s == "<EMAIL> and <IP> and <PHONE> end")
+    // idempotent: a second scrub changes nothing
+    val s2 = one(s, TextStats.scrubPii(col("t"))).toString
+    assert(s2 == s)
+  }
+
+  test("scrubPii: version-like dotted numbers inside words are not IPs") {
+    // \b is satisfied at letter/digit boundary? 'v' is a word char, so
+    // "v1.2.3.4" has no boundary before '1' — stays unredacted
+    assert(one("v1.2.3.4", TextStats.scrubPii(col("t"))).toString == "v1.2.3.4")
+  }
+
+  test("wordNgrams and dupNgramRatio") {
+    assert(one("a b a b c", TextStats.wordNgrams(col("t"), 2))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a b", "b a", "a b", "b c"))
+    assert(one("a b a b c", TextStats.dupNgramRatio(col("t"), 2)) == 0.25)
+    // below n words -> no n-grams -> ratio 0
+    assert(one("one two", TextStats.dupNgramRatio(col("t"), 3)) == 0.0)
+    assert(one("", TextStats.dupNgramRatio(col("t"), 2)) == 0.0)
+    // pure repetition: "x x x x" bigrams are all "x x" -> 1 - 1/3
+    val r = one("x x x x", TextStats.dupNgramRatio(col("t"), 2)).asInstanceOf[Double]
+    assert(math.abs(r - (1.0 - 1.0 / 3.0)) < 1e-12)
+  }
+
+  test("stratified sample: deterministic, rate-respecting, partition-stable") {
+    val df = (0L until 2000L).map(i => (i, Seq("en", "es", "zh")((i % 3).toInt)))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(df, "doc_id", "lang")
+    val again = Sampling.stratifiedSample(df.repartition(7), "doc_id", "lang")
+    assert(kept.collect().toSet == again.collect().toSet) // partitioning-invariant
+    val byLang = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~667 docs per lang; rates 50/80/30 percent with splitmix64 uniformity
+    assert(byLang("en") > 250 && byLang("en") < 420)
+    assert(byLang("es") > 450 && byLang("es") < 620)
+    assert(byLang("zh") > 130 && byLang("zh") < 270)
+    // unknown stratum falls to the 5% default
+    val other = Sampling.stratifiedSample(
+      (0L until 1000L).map((_, "xx")).toDF("doc_id", "lang"), "doc_id", "lang")
+    val n = other.count()
+    assert(n > 15 && n < 110, s"default-rate kept $n of 1000")
+  }
 }

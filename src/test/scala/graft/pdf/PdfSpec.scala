@@ -206,6 +206,37 @@ class PdfSpec extends AnyFunSuite {
     assert(text(pdf) == "up\ndown")
   }
 
+  test("type0-predef-ucs2: UniJIS-UCS2-H codes decode as UTF-16BE units") {
+    // 日本語 = U+65E5 U+672C U+8A9E; no /ToUnicode, no embedded font —
+    // the predefined Unicode CMap family decodes from the codes alone
+    val pdf = MiniPdf.buildType0Predef(Seq(("65E5672C8A9E", 72, 700)), "UniJIS-UCS2-H")
+    assert(text(pdf) == "日本語")
+  }
+
+  test("type0-predef-utf16: UniGB-UTF16-H pairs surrogates") {
+    // U+20000 (𠀀, CJK ext-B) is D840 DC00 in UTF-16BE, followed by BMP 中
+    val pdf = MiniPdf.buildType0Predef(Seq(("D840DC004E2D", 72, 700)), "UniGB-UTF16-H")
+    assert(text(pdf) == new String(Character.toChars(0x20000)) + "中")
+  }
+
+  test("type0-predef-ucs2 does NOT pair surrogates (stray unit -> U+FFFD)") {
+    val pdf = MiniPdf.buildType0Predef(Seq(("D840DC004E2D", 72, 700)), "UniKS-UCS2-H")
+    assert(text(pdf) == "��中")
+  }
+
+  test("type0-predef-cid-keyed CMaps keep the degrade (GBK-EUC-H unmatched)") {
+    // GBK bytes are NOT unicode; the name must not match the Unicode family.
+    // BD_F0 ("编" in GBK) reads as code 0xBDF0 -> BMP char U+BDF0 (degrade),
+    // not a crash and not a GBK decode
+    val pdf = MiniPdf.buildType0Predef(Seq(("BDF0", 72, 700)), "GBK-EUC-H")
+    assert(text(pdf) == 0xBDF0.toChar.toString)
+  }
+
+  test("type0-predef-utf16: truncated high surrogate at end -> U+FFFD") {
+    val pdf = MiniPdf.buildType0Predef(Seq(("4E2DD840", 72, 700)), "UniJIS-UTF16-H")
+    assert(text(pdf) == "中�")
+  }
+
   // --- PDF table detection from span geometry (TableGrid) ---
 
   private val gridRows = Seq(
