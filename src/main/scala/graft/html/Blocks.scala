@@ -37,51 +37,84 @@ object Blocks {
 
   private val BoilerContainers = Set("nav", "header", "footer", "aside")
 
-  /** One text run inside the current block — a slice [a, b) of `src`
-    * (`real = false` for synthetic runs like `<br>`'s space, which carry no
-    * source offset).
+  /** Per-thread reusable storage for the text runs of the block being built
+    * and the normalization char buffer. A run is a slice [a, b) of `srcs(i)`
+    * (`real` bit off for synthetic runs like `<br>`'s space, which carry no
+    * source offset). Flat parallel arrays instead of a per-run case class:
+    * segment() is the per-document hot path, and at 100 TB the allocation
+    * rate — not CPU — is what stops wide executors scaling.
     */
-  private final case class Piece(src: String, a: Int, b: Int, link: Boolean,
-                                 real: Boolean)
+  private[html] final class Scratch {
+    var buf = new Array[Char](8192)
+    var srcs = new Array[String](64)
+    var offA = new Array[Int](64)
+    var offB = new Array[Int](64)
+    var flags = new Array[Byte](64) // bit0 link, bit1 real
+    var n = 0
+    def add(src: String, a: Int, b: Int, link: Boolean, real: Boolean): Unit = {
+      if (n == srcs.length) {
+        srcs = java.util.Arrays.copyOf(srcs, n * 2)
+        offA = java.util.Arrays.copyOf(offA, n * 2)
+        offB = java.util.Arrays.copyOf(offB, n * 2)
+        flags = java.util.Arrays.copyOf(flags, n * 2)
+      }
+      srcs(n) = src; offA(n) = a; offB(n) = b
+      flags(n) = ((if (link) 1 else 0) | (if (real) 2 else 0)).toByte
+      n += 1
+    }
+    def clear(): Unit = {
+      java.util.Arrays.fill(srcs.asInstanceOf[Array[AnyRef]], 0, n, null) // no doc-lifetime pins
+      n = 0
+    }
+  }
+  private[html] val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
 
   def segment(root: Elem): Segmented = {
     val blocks = new ArrayBuffer[Block]
     val tables = new ArrayBuffer[TableData]
-    val pieces = new ArrayBuffer[Piece]
+    val pieces = scratch.get()
+    pieces.clear()
     var curTag = "body"
     var boilerDepth = 0
     var linkDepth = 0
 
     def flush(): Unit = {
-      if (pieces.nonEmpty) {
+      if (pieces.n > 0) {
         blocks += assemble(pieces, curTag, boilerDepth > 0)
         pieces.clear()
       }
     }
 
     def walk(e: Elem): Unit = {
-      e.children.foreach {
-        case t: Text =>
-          pieces += Piece(t.src, t.off, t.end, linkDepth > 0, real = true)
-        case el: Elem if Skipped.contains(el.name) => // no text contribution
-        case el: Elem if el.name == "table" =>
-          flush()
-          tables += extractTable(el)
-        case el: Elem if el.name == "br" =>
-          pieces += Piece(" ", 0, 1, linkDepth > 0, real = false)
-        case el: Elem =>
-          val isBlock = BlockLevel.contains(el.name)
-          val isBoiler = BoilerContainers.contains(el.name)
-          val isLink = el.name == "a"
-          if (isBlock) flush()
-          if (isBoiler) boilerDepth += 1
-          if (isLink) linkDepth += 1
-          val prevTag = curTag
-          if (isBlock) curTag = el.name
-          walk(el)
-          if (isBlock) { flush(); curTag = prevTag }
-          if (isLink) linkDepth -= 1
-          if (isBoiler) boilerDepth -= 1
+      val kids = e.children
+      var ki = 0
+      while (ki < kids.length) {
+        kids(ki) match {
+          case t: Text =>
+            pieces.add(t.src, t.off, t.end, linkDepth > 0, real = true)
+          case el: Elem if Skipped.contains(el.name) => // no text contribution
+          case el: Elem if el.name == "table" =>
+            flush()
+            tables += extractTable(el)
+          case el: Elem if el.name == "br" =>
+            pieces.add(" ", 0, 1, linkDepth > 0, real = false)
+          case el: Elem =>
+            val isBlock = BlockLevel.contains(el.name)
+            val isBoiler = BoilerContainers.contains(el.name)
+            val isLink = el.name == "a"
+            if (isBlock) flush()
+            if (isBoiler) boilerDepth += 1
+            if (isLink) linkDepth += 1
+            val prevTag = curTag
+            if (isBlock) curTag = el.name
+            walk(el)
+            if (isBlock) { flush(); curTag = prevTag }
+            if (isLink) linkDepth -= 1
+            if (isBoiler) boilerDepth -= 1
+        }
+        ki += 1
       }
     }
 
@@ -95,66 +128,73 @@ object Blocks {
     * non-whitespace/link chars in the same loop (this is the hottest
     * code in the HTML kernel; the fused form halves its time vs the
     * decode-then-count-then-collapse original with identical output).
+    * The normalized text is built in the per-thread scratch buffer and
+    * copied out ONCE as the final String; the whole body is flat while
+    * loops over the scratch arrays — no closures, so no captured-var
+    * boxing per call (measured at ~450 B/block before this shape).
     */
-  /** Reused per-thread scratch for block assembly: the normalized text is
-    * written here and copied out ONCE as the final String — no StringBuilder
-    * churn per block (alloc = exactly the output string; this path is the
-    * kernel's hottest allocation site by measurement, and at 100 TB the
-    * allocation rate, not the CPU, is what stops wide executors scaling).
-    */
-  private val scratch = new ThreadLocal[Array[Char]] {
-    override def initialValue(): Array[Char] = new Array[Char](8192)
-  }
-
-  private def assemble(pieces: ArrayBuffer[Piece], tag: String, inBoiler: Boolean): Block = {
+  private[html] def assemble(pieces: Scratch, tag: String, inBoiler: Boolean): Block = {
     var linkChars = 0
     var textChars = 0
+    val np = pieces.n
     // upper bound on the collapsed length (entity replacements are never
     // longer than their source form)
     var cap = 0
-    pieces.foreach(p => cap += p.b - p.a)
-    var buf = scratch.get()
+    var pi = 0
+    while (pi < np) { cap += pieces.offB(pi) - pieces.offA(pi); pi += 1 }
+    var buf = pieces.buf
     if (buf.length < cap) {
       buf = new Array[Char](java.lang.Integer.highestOneBit(cap) * 2)
-      scratch.set(buf)
+      pieces.buf = buf
     }
     var len = 0
     var startOff = -1
     var endOff = -1
     var pendingSpace = false
     var started = false
-    pieces.foreach { p =>
+    pi = 0
+    while (pi < np) {
       // scan the source slice in place (no substring, no decoded copy) —
       // entity decode fuses into the same whitespace-collapse loop; entities
       // never span text tokens, so the slice bound caps the `;` search
-      @inline def emit(c: Char): Unit =
-        if (isWs(c)) pendingSpace = true
-        else {
-          if (pendingSpace && started) { buf(len) = ' '; len += 1 }
-          buf(len) = c; len += 1
-          pendingSpace = false
-          started = true
-          textChars += 1
-          if (p.link) linkChars += 1
+      val src = pieces.srcs(pi)
+      val a = pieces.offA(pi)
+      val b = pieces.offB(pi)
+      val link = (pieces.flags(pi) & 1) != 0
+      val real = (pieces.flags(pi) & 2) != 0
+      var i = a
+      while (i < b) {
+        val c0 = src.charAt(i)
+        var rep: String = null
+        var next = i + 1
+        if (c0 == '&') {
+          val r = Entities.refAt(src, i, b)
+          if (r != null) { rep = r._1; next = r._2 }
         }
-      val src = p.src
-      var i = p.a
-      while (i < p.b) {
-        val c = src.charAt(i)
-        if (c == '&') {
-          val r = Entities.refAt(src, i, p.b)
-          if (r != null) {
-            val rep = r._1
-            var j = 0
-            while (j < rep.length) { emit(rep.charAt(j)); j += 1 }
-            i = r._2
-          } else { emit(c); i += 1 }
-        } else { emit(c); i += 1 }
+        // emit either the single char or every char of the replacement,
+        // same collapse/count logic in both arms
+        var j = 0
+        val m = if (rep == null) 1 else rep.length
+        while (j < m) {
+          val c = if (rep == null) c0 else rep.charAt(j)
+          if (isWs(c)) pendingSpace = true
+          else {
+            if (pendingSpace && started) { buf(len) = ' '; len += 1 }
+            buf(len) = c; len += 1
+            pendingSpace = false
+            started = true
+            textChars += 1
+            if (link) linkChars += 1
+          }
+          j += 1
+        }
+        i = next
       }
-      if (p.real) {
-        if (startOff < 0) startOff = p.a
-        endOff = p.b
+      if (real) {
+        if (startOff < 0) startOff = a
+        endOff = b
       }
+      pi += 1
     }
     val norm = new String(buf, 0, len)
     val words = if (norm.isEmpty) 0 else {

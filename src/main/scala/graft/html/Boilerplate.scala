@@ -47,9 +47,9 @@ object Boilerplate {
   }
 
   def extractDecoded(decoded: String, charset: String): HtmlExtract = {
-    // the block rules are purely structural — skip attr materialization
-    val dom = DomBuilder.build(Tokenizer.tokenize(decoded, keepAttrs = false))
-    val seg = Blocks.segment(dom)
+    // fused streaming pass: no token buffer, no DOM materialization —
+    // output identical to the tree pipeline (StreamSegmenterSpec pins it)
+    val seg = StreamSegmenter.segment(decoded)
     val kept = seg.blocks.filter(keep)
     val text = kept.iterator.map(_.text).mkString("\n\n")
     val spans = kept.map(b => Span(0, b.startOff, math.max(b.endOff - b.startOff, 0)))
@@ -57,7 +57,7 @@ object Boilerplate {
     val keptChars = kept.iterator.map(_.textChars.toLong).sum
     val conf = if (totalChars == 0L) 0.0 else 100.0 * keptChars / totalChars
     HtmlExtract(text, charset, spans, seg.tables, conf, seg.blocks.size, kept.size,
-      titleOf(dom))
+      seg.title)
   }
 
   /** `<title>` text (document metadata — S5 analogue for the HTML path). */

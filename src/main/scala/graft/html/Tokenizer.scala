@@ -85,6 +85,121 @@ object Tokenizer {
     lower(s.substring(a, b))
   }
 
+  /** Push-mode tokenizer consumer: primitive-argument callbacks, so the
+    * streaming extraction path allocates NO token objects and NO token
+    * buffer (comments/doctype carry no callback — they contribute nothing
+    * downstream). Token boundaries and ordering are identical to
+    * [[tokenize]]; `TokenizerSpec`'s equivalence property pins that.
+    */
+  trait Sink {
+    def onStart(name: String, selfClosing: Boolean, pos: Int, end: Int): Unit
+    def onEnd(name: String, pos: Int, end: Int): Unit
+    def onText(src: String, a: Int, b: Int): Unit
+  }
+
+  /** Tokenize `s` into `sink` with `keepAttrs = false` semantics: attribute
+    * syntax is parsed past but never materialized. This is the per-document
+    * hot path — at 100 TB allocation rate, not CPU, is what stops wide
+    * executors scaling, so the pull-mode token stream (one object + one
+    * buffer slot per token) is bypassed entirely.
+    */
+  def stream(s: String, sink: Sink): Unit = {
+    val n = s.length
+    var i = 0
+    var textStart = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = s.charAt(i + 1)
+        if (c1 == '!') {
+          if (textStart < i) sink.onText(s, textStart, i)
+          if (s.startsWith("<!--", i)) { // comment (dropped)
+            val close = s.indexOf("-->", i + 4)
+            i = if (close < 0) n else close + 3
+          } else { // doctype / bogus markup declaration (dropped)
+            val close = s.indexOf('>', i + 2)
+            i = if (close < 0) n else close + 1
+          }
+          textStart = i
+        } else if (c1 == '/') {
+          if (i + 2 < n && isNameStart(s.charAt(i + 2))) {
+            if (textStart < i) sink.onText(s, textStart, i)
+            var j = i + 2
+            while (j < n && isNameChar(s.charAt(j))) j += 1
+            val name = lowerName(s, i + 2, j)
+            val close = s.indexOf('>', j)
+            val end = if (close < 0) n else close + 1
+            sink.onEnd(name, i, end); i = end; textStart = i
+          } else i += 1 // "</3" etc → text
+        } else if (isNameStart(c1)) {
+          if (textStart < i) sink.onText(s, textStart, i)
+          val start = i
+          var j = i + 1
+          while (j < n && isNameChar(s.charAt(j))) j += 1
+          val name = lowerName(s, start + 1, j)
+          val packed = skipAttrs(s, j)
+          val selfClosing = packed < 0
+          val next = if (packed < 0) -(packed + 1) else packed
+          sink.onStart(name, selfClosing, start, next)
+          i = next; textStart = i
+          // rawtext swallow
+          if (!selfClosing && RawText.contains(name)) {
+            val closeAt = indexOfCi(s, "</" + name, i)
+            val contentEnd = if (closeAt < 0) n else closeAt
+            if (contentEnd > i) sink.onText(s, i, contentEnd)
+            if (closeAt < 0) { i = n; textStart = n }
+            else {
+              val gt = s.indexOf('>', closeAt)
+              val end = if (gt < 0) n else gt + 1
+              sink.onEnd(name, closeAt, end); i = end; textStart = i
+            }
+          }
+        } else i += 1 // "<3" → text
+      } else i += 1
+    }
+    if (textStart < n) sink.onText(s, textStart, n)
+  }
+
+  /** Parse past the attribute section starting at `i` (just after the tag
+    * name). Returns the index after `>`; self-closing is signalled by the
+    * encoded value `-(end + 1)`. Scan structure identical to
+    * [[parseStartTag]] with `keepAttrs = false`.
+    */
+  private def skipAttrs(s: String, start: Int): Int = {
+    val n = s.length
+    var i = start
+    var selfClosing = false
+    var done = false
+    while (!done && i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i >= n) done = true
+      else s.charAt(i) match {
+        case '>' => i += 1; done = true
+        case '/' =>
+          if (i + 1 < n && s.charAt(i + 1) == '>') { selfClosing = true; i += 2; done = true }
+          else i += 1
+        case _ =>
+          while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '=' &&
+                 s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
+          while (i < n && isWs(s.charAt(i))) i += 1
+          if (i < n && s.charAt(i) == '=') {
+            i += 1
+            while (i < n && isWs(s.charAt(i))) i += 1
+            if (i < n) {
+              val q = s.charAt(i)
+              if (q == '"' || q == '\'') {
+                val qe = s.indexOf(q, i + 1)
+                i = if (qe < 0) n else qe + 1
+              } else {
+                while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '>') i += 1
+              }
+            }
+          }
+      }
+    }
+    if (selfClosing) -(i + 1) else i
+  }
+
   /** `keepAttrs = false` parses past attributes without materializing the
     * name/value strings — the extraction pipeline reads no attribute (the
     * boilerplate rules are purely structural), so its hot path skips that

@@ -19,6 +19,41 @@ import PdfObjects._
   */
 object FontDecode {
 
+  /** Cross-document font-work cache. Embedded font programs and ToUnicode
+    * CMap streams repeat across a crawl (the same subset font is embedded by
+    * thousands of pages from one generator), so the expensive pure steps —
+    * reversing a TrueType `cmap` table, parsing a ToUnicode CMap — are
+    * cached keyed by the DECODED stream bytes. Keying on decoded bytes keeps
+    * the entry a pure function of its key (raw bytes alone would not be:
+    * the filter chain and /DecodeParms live outside the stream body).
+    * Bounded by epoch clear at [[CacheCap]] entries; thread-safe; executors
+    * warm it once per distinct font, not once per document.
+    */
+  private final class BytesKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => (k eq this) || java.util.Arrays.equals(k.bytes, bytes)
+      case _ => false
+    }
+  }
+  private val CacheCap = 4096
+  private def cached[V](cache: java.util.concurrent.ConcurrentHashMap[BytesKey, V],
+                        data: Array[Byte])(compute: => V): V = {
+    val k = new BytesKey(data)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val v = compute
+      if (cache.size >= CacheCap) cache.clear()
+      cache.put(k, v)
+      v
+    }
+  }
+  private val gidMapCache =
+    new java.util.concurrent.ConcurrentHashMap[BytesKey, Map[Int, String]]()
+  private val toUniCache =
+    new java.util.concurrent.ConcurrentHashMap[BytesKey, Option[(Int, Map[Int, String])]]()
+
   /** Decoder for one font: fixed code width + code→text map.
     * `pairSurrogates` is set for the predefined UniXX-UTF16-H/V encodings,
     * whose 2-byte codes are UTF-16BE units: a high/low surrogate unit pair
@@ -81,7 +116,8 @@ object FontDecode {
             val subtype = objs.name(f.m.getOrElse("Subtype", PNull))
             val parsed = objs.resolve(f.m.getOrElse("ToUnicode", PNull)) match {
               case s: PStream =>
-                decodeStream(s, objs).toOption.flatMap(parseToUnicode)
+                decodeStream(s, objs).toOption
+                  .flatMap(d => cached(toUniCache, d)(parseToUnicode(d)))
               case _ => None
             }
             parsed match {
@@ -149,7 +185,8 @@ object FontDecode {
           ff <- Some(objs.resolve(fd.m.getOrElse("FontFile2", PNull)))
             .collect { case s: PStream => s }
           data <- decodeStream(ff, objs).toOption
-        } yield TrueTypeCmap.reverseMap(data)).getOrElse(Map.empty)
+        } yield cached(gidMapCache, data)(TrueTypeCmap.reverseMap(data)))
+          .getOrElse(Map.empty)
       case None => Map.empty
     }
   }

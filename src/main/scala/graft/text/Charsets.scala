@@ -1,7 +1,6 @@
 package graft.text
 
-import java.nio.charset.{Charset, StandardCharsets, CodingErrorAction}
-import java.nio.{ByteBuffer, CharBuffer}
+import java.nio.charset.{Charset, StandardCharsets}
 
 /** Encoding detection (SURVEY.md E11; FIXTURES.md §3.2).
   *
@@ -54,24 +53,41 @@ object Charsets {
     * tag bounds — an early `<script>var charset="utf-16"</script>`, comment,
     * or visible text containing `charset=` must not hijack detection.
     * Returns a resolvable charset only.
+    *
+    * Runs directly over the byte window (latin-1 char per byte, lowercased
+    * per char) — this is a per-document hot path and the former
+    * `new String(...).toLowerCase` materialized ~4 KB per doc just to search
+    * it; at 100 TB allocation rate is what stops wide executors scaling.
     */
   def metaCharset(bytes: Array[Byte]): Option[Charset] = {
     val n = math.min(bytes.length, SniffWindow)
-    val window = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
-      .toLowerCase(java.util.Locale.ROOT)
+    @inline def at(i: Int): Char = Character.toLowerCase((bytes(i) & 0xFF).toChar)
+    // indexOf of a lowercase ASCII literal over the lowercased window
+    def find(lit: String, from: Int, until: Int): Int = {
+      val m = lit.length
+      var i = math.max(from, 0)
+      while (i + m <= until) {
+        var k = 0
+        while (k < m && at(i + k) == lit.charAt(k)) k += 1
+        if (k == m) return i
+        i += 1
+      }
+      -1
+    }
     var from = 0
-    while (from < window.length) {
-      val tag = window.indexOf("<meta", from)
+    while (from < n) {
+      val tag = find("<meta", from, n)
       if (tag < 0) return None
-      val close = window.indexOf('>', tag)
-      val end = if (close < 0) window.length else close
+      var close = tag
+      while (close < n && at(close) != '>') close += 1
+      val end = if (close >= n) n else close
       // try every charset occurrence inside this tag's bounds — the first
       // may belong to another attribute (data-charset-mode="...")
-      var idx = window.indexOf("charset", tag)
+      var idx = find("charset", tag, end)
       while (idx >= 0 && idx < end) {
-        val found = parseCharsetValue(window, idx + "charset".length, end)
+        val found = parseCharsetValue(at, idx + "charset".length, end)
         if (found.isDefined) return found
-        idx = window.indexOf("charset", idx + 1)
+        idx = find("charset", idx + 1, end)
       }
       from = tag + "<meta".length
     }
@@ -79,24 +95,38 @@ object Charsets {
   }
 
   /** `= "name" | 'name' | name` starting at `i`, bounded by `end` (tag close). */
-  private def parseCharsetValue(window: String, start: Int, end: Int): Option[Charset] = {
+  private def parseCharsetValue(at: Int => Char, start: Int, end: Int): Option[Charset] = {
     var i = start
-    while (i < end && (window.charAt(i) == ' ' || window.charAt(i) == '\t')) i += 1
-    if (i >= end || window.charAt(i) != '=') return None
+    while (i < end && (at(i) == ' ' || at(i) == '\t')) i += 1
+    if (i >= end || at(i) != '=') return None
     i += 1
-    while (i < end && (window.charAt(i) == ' ' || window.charAt(i) == '\t')) i += 1
+    while (i < end && (at(i) == ' ' || at(i) == '\t')) i += 1
     if (i >= end) return None
-    val quote = window.charAt(i)
-    val (valStart, terms) =
-      if (quote == '"' || quote == '\'') (i + 1, Set(quote))
-      else (i, Set(' ', '\t', '"', '\'', ';', '>', '/'))
+    val quote = at(i)
+    val isQuoted = quote == '"' || quote == '\''
+    @inline def terminates(c: Char): Boolean =
+      if (isQuoted) c == quote
+      else c == ' ' || c == '\t' || c == '"' || c == '\'' || c == ';' || c == '>' || c == '/'
+    val valStart = if (isQuoted) i + 1 else i
     var j = valStart
-    while (j < end && !terms.contains(window.charAt(j))) j += 1
-    val name = window.substring(valStart, j).trim
-    if (name.isEmpty) None
-    else
+    while (j < end && !terminates(at(j))) j += 1
+    // trim (the window's whitespace inventory is space/\t plus control chars
+    // String.trim would strip: anything <= ' ')
+    var a = valStart
+    var b = j
+    while (a < b && at(a) <= ' ') a += 1
+    while (b > a && at(b - 1) <= ' ') b -= 1
+    if (a >= b) None
+    else {
+      val name = {
+        val sb = new java.lang.StringBuilder(b - a)
+        var k = a
+        while (k < b) { sb.append(at(k)); k += 1 }
+        sb.toString
+      }
       try { if (Charset.isSupported(name)) Some(Charset.forName(name)) else None }
       catch { case _: IllegalArgumentException => None }
+    }
   }
 
   /** Strict UTF-8 validity check (no decoding allocation beyond the validator). */
@@ -129,11 +159,11 @@ object Charsets {
     true
   }
 
-  private def decodeWith(bytes: Array[Byte], offset: Int, cs: Charset): String = {
-    val dec = cs.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    val out: CharBuffer = dec.decode(ByteBuffer.wrap(bytes, offset, bytes.length - offset))
-    out.toString
-  }
+  private def decodeWith(bytes: Array[Byte], offset: Int, cs: Charset): String =
+    // String's charset constructor specifies REPLACE for malformed input and
+    // unmappable characters — identical semantics to the explicit decoder it
+    // replaces, but one allocation instead of three (decoder, CharBuffer,
+    // copy-out) and it produces compact latin-1-backed strings, halving the
+    // resident size of ASCII documents through the whole downstream kernel
+    new String(bytes, offset, bytes.length - offset, cs)
 }

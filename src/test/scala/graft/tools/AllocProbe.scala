@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.io.SyntheticPages
+
+/** One-off allocation decomposition for Blocks.segment (dev aid, not a spec). */
+object AllocProbe {
+  def main(args: Array[String]): Unit = {
+    val doc = SyntheticPages.pageFor(1L,
+      ("word1 the quick brown fox jumps over lazy dog ") * 12, "en")
+    val (_, text) = graft.text.Charsets.decode(doc.payload)
+    val toks = graft.html.Tokenizer.tokenize(text)
+    val dom = graft.html.DomBuilder.build(toks)
+    val seg = graft.html.Blocks.segment(dom)
+    println(s"toks=${toks.length} blocks=${seg.blocks.length} " +
+      s"pieces~textNodes tables=${seg.tables.length} " +
+      s"normChars=${seg.blocks.map(_.text.length).sum} srcChars=${text.length}")
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread.getId
+    def probe(tag: String)(f: => Any): Unit = {
+      (1 to 2000).foreach(_ => f)
+      val n = 4000
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => f)
+      val dt = (System.nanoTime() - t0) / 1e3 / n
+      val da = (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / n
+      println(f"$tag%-18s ${dt}%7.2f us  ${da / 1024}%7.2f KB")
+    }
+    probe("segment")(graft.html.Blocks.segment(dom))
+    probe("tokenize")(graft.html.Tokenizer.tokenize(text))
+    probe("dom")(graft.html.DomBuilder.build(toks))
+    probe("decode")(graft.text.Charsets.decode(doc.payload))
+  }
+}
