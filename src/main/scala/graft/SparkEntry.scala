@@ -305,6 +305,46 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id").withColumnRenamed("stratum", "lang")
         .orderBy("doc_id")
     }),
+    // C4-style paragraph dedup: documents carry no paragraph breaks, so
+    // paragraphs are deterministic 12-word chunks PLUS planted cross-doc
+    // boilerplate (a shared header on id%4==1, a shared footer on id%3==0
+    // — planted identically in the oracle, so first-occurrence-wins
+    // actually exercises: the shared paragraph survives only in its
+    // first document)
+    "t09_paragraph_dedup" -> ((s, dir) => {
+      import graft.ops.ParaDedup._
+      val hdr = "shared legal header follow the terms and conditions"
+      val ftr = "subscribe to our newsletter for more updates today"
+      val withParas = documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 1, array(lit(hdr)))
+            .otherwise(array().cast("array<string>")),
+          chunkWords(col("text"), 12),
+          when(col("doc_id") % 3 === 0, array(lit(ftr)))
+            .otherwise(array().cast("array<string>"))
+        ).as("paras"))
+      dedupParagraphs(withParas, "doc_id", "paras").orderBy("doc_id")
+    }),
+    // benchmark decontamination: docs with id%97==13 form the "eval set";
+    // training docs with id%31==7 get eval doc 13's first 12 words planted
+    // (both sides plant identically), then any shared word 8-gram flags the
+    // training doc — the eval n-gram set broadcasts (tiny next to the
+    // corpus), the canonical production shape
+    "t10_decontaminate" -> ((s, dir) => {
+      import graft.ops.TextStats._
+      val docs = documents(s, dir)
+      val evalG = docs.where(col("doc_id") % 97 === 13)
+        .select(explode(array_distinct(wordNgrams(col("text"), 8))).as("g"))
+      val seed = docs.where(col("doc_id") === 13)
+        .select(concat_ws(" ", slice(split(col("text"), " +"), 1, 12)).as("seed"))
+      val train = docs.where(col("doc_id") % 97 =!= 13)
+        .crossJoin(broadcast(seed))
+        .select(col("doc_id"),
+          when(col("doc_id") % 31 === 7, concat_ws(" ", col("text"), col("seed")))
+            .otherwise(col("text")).as("ptext"))
+        .select(col("doc_id"), wordNgrams(col("ptext"), 8).as("g8"))
+      graft.ops.Decontam.overlap(train, "g8", evalG).orderBy("doc_id")
+    }),
     "d01_exact_dup_groups" -> ((s, dir) => {
       documents(s, dir)
         .groupBy(sha2(col("text").cast("binary"), 256).as("content_hash"))
@@ -931,6 +971,88 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 80 WHEN 'de' THEN 80
         |            WHEN 'fr' THEN 80 WHEN 'zh' THEN 30 ELSE 5 END
         |ORDER BY doc_id""".stripMargin,
+    // paragraphs re-derived (12-word chunks + identical planted header/
+    // footer); first-occurrence-wins re-derived as a window — the oracle
+    // needs correctness, not the skew-safe agg+join the Spark side uses
+    "t09_paragraph_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, str_split_regex(text, ' +') AS w FROM documents),
+        |paras AS (
+        |  SELECT doc_id,
+        |    list_concat(
+        |      CASE WHEN doc_id % 4 = 1
+        |           THEN ['shared legal header follow the terms and conditions']
+        |           ELSE []::VARCHAR[] END,
+        |      list_concat(
+        |        list_transform(generate_series(0, (len(w) - 1) // 12),
+        |          i -> array_to_string(w[i*12+1 : i*12+12], ' ')),
+        |        CASE WHEN doc_id % 3 = 0
+        |             THEN ['subscribe to our newsletter for more updates today']
+        |             ELSE []::VARCHAR[] END))
+        |    AS p
+        |  FROM w),
+        |expl0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(p)),
+        |      i -> {'pos': i - 1, 'para': p[i]})) AS u
+        |  FROM paras),
+        |expl AS (
+        |  SELECT doc_id, u.pos AS pos, u.para AS para
+        |  FROM expl0 WHERE u.para <> ''),
+        |marked AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS kept
+        |  FROM expl)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INTEGER) AS n_paras,
+        |  CAST(count(*) FILTER (kept) AS INTEGER) AS n_kept,
+        |  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+        |             FILTER (kept), '') AS clean_text
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // eval set + planted seed re-derived; overlap = distinct shared 8-grams
+    "t10_decontaminate" ->
+      """WITH seed AS (
+        |  SELECT array_to_string(str_split_regex(text, ' +')[1:12], ' ') AS s
+        |  FROM documents WHERE doc_id = 13),
+        |train AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 7 THEN text || ' ' || (SELECT s FROM seed)
+        |         ELSE text END AS ptext
+        |  FROM documents WHERE doc_id % 97 <> 13),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(ptext), '[^\p{L}\p{N}]+'),
+        |                x -> x <> '') AS t
+        |  FROM train),
+        |g8 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 7),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                  || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))
+        |    END AS g
+        |  FROM toks),
+        |etoks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 97 = 13),
+        |eg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+        |      ELSE list_transform(generate_series(1, len(t) - 7),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
+        |    END) AS g FROM etoks)),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS overlap_cnt
+        |  FROM (SELECT doc_id, unnest(g) AS gg FROM g8) u
+        |  JOIN eg ON u.gg = eg.g
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(h.overlap_cnt, 0) AS overlap_cnt,
+        |  coalesce(h.overlap_cnt, 0) > 0 AS contaminated
+        |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // injectivity check: xxhash64 itself is not reproducible in DuckDB, but
     // "one fingerprint per distinct normalized text" is
     "t04_fingerprint" ->
