@@ -89,7 +89,8 @@ object Tokenizer {
     * streaming extraction path allocates NO token objects and NO token
     * buffer (comments/doctype carry no callback — they contribute nothing
     * downstream). Token boundaries and ordering are identical to
-    * [[tokenize]]; `TokenizerSpec`'s equivalence property pins that.
+    * [[tokenize]]; `StreamSegmenterSpec`'s token-equivalence property
+    * pins that.
     */
   trait Sink {
     def onStart(name: String, selfClosing: Boolean, pos: Int, end: Int): Unit

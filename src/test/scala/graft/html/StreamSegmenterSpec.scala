@@ -102,6 +102,31 @@ class StreamSegmenterSpec extends AnyFunSuite {
     }
   }
 
+  test("property: Tokenizer.stream emits exactly tokenize(keepAttrs=false)") {
+    val rnd = new scala.util.Random(11)
+    val frags = Array("<div>", "</div>", "<a x='1' y>", "text &amp; more", "<br/>",
+      "<!-- c -->", "<!DOCTYPE html>", "<script>s<t</script>", "<p", "</3", "<3",
+      "<title>t</title>", "< div>", "</ div>", "<b/>", "x=\"unterm")
+    (1 to 1000).foreach { _ =>
+      val s = (1 to 1 + rnd.nextInt(12)).map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val events = new StringBuilder
+      Tokenizer.stream(s, new Tokenizer.Sink {
+        def onStart(name: String, selfClosing: Boolean, pos: Int, end: Int): Unit =
+          events.append(s"S:$name:$selfClosing:$pos:$end;")
+        def onEnd(name: String, pos: Int, end: Int): Unit =
+          events.append(s"E:$name:$pos:$end;")
+        def onText(src: String, a: Int, b: Int): Unit =
+          events.append(s"T:$a:$b;")
+      })
+      val expected = Tokenizer.tokenize(s, keepAttrs = false).collect {
+        case Tokenizer.TStart(n, _, sc, p, e) => s"S:$n:$sc:$p:$e;"
+        case Tokenizer.TEnd(n, p, e) => s"E:$n:$p:$e;"
+        case Tokenizer.TText(_, a, b) => s"T:$a:$b;"
+      }.mkString
+      assert(events.toString == expected, s"token streams diverge on: $s")
+    }
+  }
+
   test("synthetic corpus pages match exactly") {
     (0L until 200L).foreach { id =>
       val spec = graft.io.SyntheticPages.pageFor(id,
