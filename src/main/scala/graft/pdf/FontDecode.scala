@@ -59,10 +59,17 @@ object FontDecode {
     * whose 2-byte codes are UTF-16BE units: a high/low surrogate unit pair
     * decodes to one supplementary code point (UCS2 variants never emit
     * surrogates, so the flag stays off and a stray surrogate is U+FFFD).
+    * `legacy`, when non-null, decodes the whole show string through that
+    * charset (predefined CID-keyed CMaps: the codes are bytes of a legacy
+    * CJK encoding, which is inherently variable-width — the charset decoder
+    * handles 1-byte ASCII runs mixed with 2-byte CJK codes, which a fixed
+    * `codeLen` cannot).
     */
   final case class FontDec(codeLen: Int, toUni: Map[Int, String],
-                           pairSurrogates: Boolean = false) {
+                           pairSurrogates: Boolean = false,
+                           legacy: java.nio.charset.Charset = null) {
     def decode(bytes: Array[Byte]): String = {
+      if (legacy != null) return new String(bytes, legacy) // REPLACE on malformed
       val sb = new java.lang.StringBuilder(bytes.length)
       var i = 0
       val n = bytes.length
@@ -136,6 +143,14 @@ object FontDecode {
                     // decode codes directly (surrogate pairing for UTF16)
                     Some(fname -> FontDec(2, Map.empty,
                       pairSurrogates = variant == "UTF16"))
+                  case Some(enc) if legacyCharsetFor(enc).isDefined =>
+                    // predefined CID-keyed CMaps (GBK-EUC-H, 90ms-RKSJ-H, …):
+                    // the show-string bytes ARE a legacy CJK encoding of the
+                    // text (the CMap maps those byte codes to CIDs of the
+                    // matching ordering), so for TEXT extraction the JDK's
+                    // charset decoder recovers it without Adobe's CMap tables
+                    Some(fname -> FontDec(2, Map.empty,
+                      legacy = legacyCharsetFor(enc).get))
                   case _ =>
                     // no /ToUnicode: for Identity-H/V the codes are glyph ids —
                     // reverse the embedded TrueType's cmap when one is present;
@@ -163,6 +178,44 @@ object FontDecode {
     */
   private val PredefUnicodeCMap =
     "Uni(?:GB|CNS|JIS|JISX0213|KS|AKR)-(UCS2|UTF16)-([HV])".r
+
+  /** Predefined CID-keyed CMap name (PDF 1.7 §9.7.5.2 table 118, sans the
+    * -H/-V suffix) → the legacy charset its show-string codes are bytes of.
+    * Mapped only if the running JDK ships the charset; anything else (or an
+    * unknown CMap name) keeps the documented empty-map degrade. The
+    * RKSJ "ms" variants use windows-31j (MS extensions), "pv"/plain use
+    * Shift_JIS; the Mac GB/B5/KSC ("pc") variants share the common plane
+    * with their mainline encodings, which is the extractable subset.
+    */
+  private val LegacyCMapCharsets: Map[String, java.nio.charset.Charset] = {
+    def cs(n: String): Option[java.nio.charset.Charset] =
+      try {
+        if (java.nio.charset.Charset.isSupported(n))
+          Some(java.nio.charset.Charset.forName(n))
+        else None
+      } catch { case _: IllegalArgumentException => None }
+    Seq(
+      "GB-EUC" -> "GB2312", "GBpc-EUC" -> "GB2312",
+      "GBK-EUC" -> "GBK", "GBKp-EUC" -> "GBK", "GBK2K" -> "GB18030",
+      "B5pc" -> "Big5", "ETen-B5" -> "Big5", "ETenms-B5" -> "Big5",
+      "HKscs-B5" -> "Big5-HKSCS", "CNS-EUC" -> "x-EUC-TW",
+      "90ms-RKSJ" -> "windows-31j", "90msp-RKSJ" -> "windows-31j",
+      "90pv-RKSJ" -> "Shift_JIS", "83pv-RKSJ" -> "Shift_JIS",
+      "Add-RKSJ" -> "Shift_JIS", "Ext-RKSJ" -> "Shift_JIS",
+      "EUC" -> "EUC-JP",
+      "KSC-EUC" -> "EUC-KR", "KSCpc-EUC" -> "EUC-KR",
+      "KSCms-UHC" -> "x-windows-949", "KSCms-UHC-HW" -> "x-windows-949",
+    ).flatMap { case (cmap, charset) => cs(charset).map(cmap -> _) }.toMap
+  }
+
+  /** Charset for a predefined CID-keyed CMap /Encoding name, if decodable. */
+  def legacyCharsetFor(encoding: String): Option[java.nio.charset.Charset] = {
+    val base =
+      if (encoding.endsWith("-H")) encoding.dropRight(2)
+      else if (encoding.endsWith("-V")) encoding.dropRight(2)
+      else encoding
+    LegacyCMapCharsets.get(base)
+  }
 
   /** Identity-H/V Type0 without /ToUnicode: show-string codes are CIDs and
     * (with /CIDToGIDMap /Identity or absent) glyph ids; the descendant's

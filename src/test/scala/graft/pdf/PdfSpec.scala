@@ -224,11 +224,23 @@ class PdfSpec extends AnyFunSuite {
     assert(text(pdf) == "��中")
   }
 
-  test("type0-predef-cid-keyed CMaps keep the degrade (GBK-EUC-H unmatched)") {
-    // GBK bytes are NOT unicode; the name must not match the Unicode family.
-    // BD_F0 ("编" in GBK) reads as code 0xBDF0 -> BMP char U+BDF0 (degrade),
-    // not a crash and not a GBK decode
-    val pdf = MiniPdf.buildType0Predef(Seq(("BDF0", 72, 700)), "GBK-EUC-H")
+  test("type0-predef-cid-keyed GBK-EUC-H decodes via the GBK charset") {
+    // show-string bytes are GBK: D6D0 CEC4 41 = 中文A (mixed 2-byte CJK and
+    // 1-byte ASCII — the variable-width case a fixed code length cannot do)
+    val pdf = MiniPdf.buildType0Predef(Seq(("D6D0CEC441", 72, 700)), "GBK-EUC-H")
+    assert(text(pdf) == "中文A")
+  }
+
+  test("type0-predef-cid-keyed 90ms-RKSJ-H decodes via windows-31j") {
+    // 93FA 967B 41 = 日本A in Shift_JIS/windows-31j
+    val pdf = MiniPdf.buildType0Predef(Seq(("93FA967B41", 72, 700)), "90ms-RKSJ-H")
+    assert(text(pdf) == "日本A")
+  }
+
+  test("type0-predef unknown CMap names keep the degrade") {
+    // not in the Unicode family and not a known CID-keyed CMap:
+    // 0xBDF0 reads as fixed-width code -> BMP char U+BDF0 (degrade)
+    val pdf = MiniPdf.buildType0Predef(Seq(("BDF0", 72, 700)), "Foo-Bar-H")
     assert(text(pdf) == 0xBDF0.toChar.toString)
   }
 
