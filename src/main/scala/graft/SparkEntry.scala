@@ -203,6 +203,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
     }),
+    // semi-structured extraction: events.props is a JSON string; parse it
+    // with a typed schema (from_json inlines into the scan — codegen'd, no
+    // UDF) and aggregate the extracted field. Oracle re-derives k by regexp
+    // so it needs no JSON extension.
+    "q16_event_props" -> ((s, dir) => {
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k")
+      events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("int").as("events"),
+          sum(col("k")).cast("bigint").as("k_sum"),
+          round(avg(col("k")), 4).as("k_avg"),
+          sum(when(col("k") >= 50, 1).otherwise(0)).cast("int").as("k_hi"))
+        .orderBy("event_type")
+    }),
     // top-k per group via a bounded typed Aggregator (map-side partial
     // top-2 per partition), NOT a row_number window: a window's sort
     // parallelism is bounded by the 25 distinct nations at any scale,
@@ -1168,6 +1185,18 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY c_nationkey
         |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
         |  FROM customer) t WHERE rk <= 2""".stripMargin,
+    // the JSON field re-derived by regexp (no JSON extension needed)
+    "q16_event_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS INTEGER) AS events,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  round(avg(k), 4) AS k_avg,
+        |  CAST(count(*) FILTER (k >= 50) AS INTEGER) AS k_hi
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")

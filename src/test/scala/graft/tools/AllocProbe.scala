@@ -28,8 +28,20 @@ object AllocProbe {
       println(f"$tag%-18s ${dt}%7.2f us  ${da / 1024}%7.2f KB")
     }
     probe("segment")(graft.html.Blocks.segment(dom))
+    probe("stream-segment")(graft.html.StreamSegmenter.segment(text))
     probe("tokenize")(graft.html.Tokenizer.tokenize(text))
     probe("dom")(graft.html.DomBuilder.build(toks))
     probe("decode")(graft.text.Charsets.decode(doc.payload))
+    // native-PDF stage split: plain vs flate vs Type0-composite vs table page
+    Seq(9L -> "pdf-plain", 19L -> "pdf-flate?", 29L -> "pdf-type0",
+        59L -> "pdf-type0b", 49L -> "pdf-other").foreach { case (id, tag) =>
+      val d = SyntheticPages.pageFor(id,
+        ("word the quick brown fox jumps over lazy dog " * 12), "en")
+      if (graft.pipeline.Kernel.isPdf(d.payload)) {
+        probe(s"$tag-kernel")(graft.pipeline.Kernel.extractOne(d.payload))
+        probe(s"$tag-objs")(graft.pdf.PdfObjects.parseAll(d.payload))
+        probe(s"$tag-full")(graft.pdf.PdfExtractor.extract(d.payload))
+      }
+    }
   }
 }
