@@ -52,7 +52,12 @@ object Bench {
       val t = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case scala.util.control.NonFatal(_) => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      val sec = (System.nanoTime() - t) / 1e9
+      // dedup queries persist() their shingle-set scratch; drop it between
+      // queries (untimed — each query already paid its own persist cost in
+      // its window) so cached copies never accumulate across the run
+      spark.catalog.clearCache()
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -21,6 +21,9 @@ object Verify {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dedup queries persist() their shingle-set scratch; drop it between
+      // queries so the dump never accumulates per-query cached copies
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

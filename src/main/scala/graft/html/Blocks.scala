@@ -144,7 +144,10 @@ object Blocks {
     while (pi < np) { cap += pieces.offB(pi) - pieces.offA(pi); pi += 1 }
     var buf = pieces.buf
     if (buf.length < cap) {
-      buf = new Array[Char](java.lang.Integer.highestOneBit(cap) * 2)
+      // overflow-safe doubling: highestOneBit(cap)*2 wraps negative for
+      // cap >= 2^30; clamp to the max array size instead of crashing
+      val want = math.min(math.max(cap.toLong * 2, 8192L), (Int.MaxValue - 8).toLong).toInt
+      buf = new Array[Char](math.max(want, cap))
       pieces.buf = buf
     }
     var len = 0

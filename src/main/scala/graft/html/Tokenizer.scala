@@ -51,15 +51,32 @@ object Tokenizer {
     "span", "strong", "style", "sub", "sup", "svg", "table", "tbody", "td",
     "template", "textarea", "tfoot", "th", "thead", "title", "tr", "u",
     "ul", "wbr", "xmp")
-  private val internByHash: java.util.HashMap[Integer, Array[String]] = {
-    val m = new java.util.HashMap[Integer, Array[String]]()
-    InternedNames.foreach { n =>
+  // open-addressed int-keyed table (a boxed-Integer HashMap lookup would
+  // allocate one Integer per tag in the hot loop — the exact garbage the
+  // interning exists to remove). Slots = 512 (power of two, load < 0.2);
+  // an empty slot is cands == null, so hash value 0 needs no sentinel.
+  private val InternSlots = 512
+  private val internHashes = new Array[Int](InternSlots)
+  private val internCands = new Array[Array[String]](InternSlots)
+  locally {
+    InternedNames.groupBy { n =>
       var h = 0; var i = 0
       while (i < n.length) { h = h * 31 + n.charAt(i); i += 1 }
-      val prev = m.get(h)
-      m.put(h, if (prev == null) Array(n) else prev :+ n)
+      h
+    }.foreach { case (h, names) =>
+      var s = h & (InternSlots - 1)
+      while (internCands(s) != null) s = (s + 1) & (InternSlots - 1)
+      internHashes(s) = h
+      internCands(s) = names.toArray
     }
-    m
+  }
+  private def internLookup(h: Int): Array[String] = {
+    var s = h & (InternSlots - 1)
+    while (internCands(s) != null) {
+      if (internHashes(s) == h) return internCands(s)
+      s = (s + 1) & (InternSlots - 1)
+    }
+    null
   }
   private def equalsLowerSlice(name: String, s: String, a: Int, b: Int): Boolean = {
     if (name.length != b - a) return false
@@ -74,7 +91,7 @@ object Tokenizer {
   private def lowerName(s: String, a: Int, b: Int): String = {
     var h = 0; var i = a
     while (i < b) { h = h * 31 + lowerCh(s.charAt(i)); i += 1 }
-    val cands = internByHash.get(h)
+    val cands = internLookup(h)
     if (cands != null) {
       var k = 0
       while (k < cands.length) {

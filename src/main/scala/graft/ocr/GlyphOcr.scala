@@ -18,7 +18,8 @@ import GlyphFont._
   *   4. glyph segmentation by column runs inside each band; inter-run gaps
   *      ≥ 5 columns are spaces (gap+2)/6 wide at the font's fixed pitch;
   *   5. template match against [[GlyphFont]], trimmed to the run's ink box;
-  *      hamming distance ≤ 3 accepts (tolerates specks), else `?`.
+  *      hamming distance ≤ 1 accepts (sound because every same-width
+  *      template pair is ≥ 3 apart, spec-gated), else `?`.
   *
   * Totally deterministic: integer math, fixed tie-breaks (smallest |slope|,
   * then smallest slope; lowest char on template ties). Never throws on

@@ -45,8 +45,9 @@ object Multimodal {
 
   /** Deterministic synthetic assets derived from doc ids (no external data):
     * kind rotates image/audio/video; image payloads are real PNGs, audio
-    * payloads real PCM WAVs, video payloads a splitmix64 byte stream —
-    * stable across runs, machines and partitionings.
+    * payloads real PCM WAVs, video payloads GMJ1 containers of real
+    * length-prefixed PNG frames — stable across runs, machines and
+    * partitionings.
     */
   def synthesize(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession

@@ -36,23 +36,35 @@ object FontDecode {
       case _ => false
     }
   }
-  private val CacheCap = 4096
-  private def cached[V](cache: java.util.concurrent.ConcurrentHashMap[BytesKey, V],
-                        data: Array[Byte])(compute: => V): V = {
-    val k = new BytesKey(data)
-    val hit = cache.get(k)
-    if (hit != null) hit
-    else {
+  /** Bound is RETAINED BYTES, not entry count: one adversarial crawl of
+    * multi-MB fonts with million-entry cmaps must not pin cap×MB of heap.
+    * Key bytes + an estimate of the value's map footprint are charged; at
+    * the cap the cache epoch-clears (simple, thread-safe, and at worst
+    * re-pays one font decode per distinct font per epoch).
+    */
+  private val CacheCapBytes = 64L << 20
+  private final class SizedCache[V <: AnyRef](sizeOf: V => Long) {
+    private val map = new java.util.concurrent.ConcurrentHashMap[BytesKey, V]()
+    private val bytes = new java.util.concurrent.atomic.AtomicLong()
+    def getOrCompute(data: Array[Byte])(compute: => V): V = {
+      val k = new BytesKey(data)
+      val hit = map.get(k)
+      if (hit != null) return hit
       val v = compute
-      if (cache.size >= CacheCap) cache.clear()
-      cache.put(k, v)
+      val cost = data.length + sizeOf(v) + 64L
+      if (bytes.addAndGet(cost) > CacheCapBytes) {
+        map.clear()
+        bytes.set(cost)
+      }
+      map.put(k, v)
       v
     }
   }
-  private val gidMapCache =
-    new java.util.concurrent.ConcurrentHashMap[BytesKey, Map[Int, String]]()
-  private val toUniCache =
-    new java.util.concurrent.ConcurrentHashMap[BytesKey, Option[(Int, Map[Int, String])]]()
+  private def mapBytes(m: Map[Int, String]): Long =
+    m.size.toLong * 56L // entry + boxed key + small string, estimated
+  private val gidMapCache = new SizedCache[Map[Int, String]](mapBytes)
+  private val toUniCache = new SizedCache[Option[(Int, Map[Int, String])]](
+    v => v.map(p => mapBytes(p._2)).getOrElse(0L))
 
   /** Decoder for one font: fixed code width + code→text map.
     * `pairSurrogates` is set for the predefined UniXX-UTF16-H/V encodings,
@@ -124,7 +136,7 @@ object FontDecode {
             val parsed = objs.resolve(f.m.getOrElse("ToUnicode", PNull)) match {
               case s: PStream =>
                 decodeStream(s, objs).toOption
-                  .flatMap(d => cached(toUniCache, d)(parseToUnicode(d)))
+                  .flatMap(d => toUniCache.getOrCompute(d)(parseToUnicode(d)))
               case _ => None
             }
             parsed match {
@@ -238,7 +250,7 @@ object FontDecode {
           ff <- Some(objs.resolve(fd.m.getOrElse("FontFile2", PNull)))
             .collect { case s: PStream => s }
           data <- decodeStream(ff, objs).toOption
-        } yield cached(gidMapCache, data)(TrueTypeCmap.reverseMap(data)))
+        } yield gidMapCache.getOrCompute(data)(TrueTypeCmap.reverseMap(data)))
           .getOrElse(Map.empty)
       case None => Map.empty
     }
