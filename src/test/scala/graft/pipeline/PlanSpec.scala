@@ -95,6 +95,23 @@ class PlanSpec extends AnyFunSuite {
       s"q13 lost its map-side partial top-k:\n$plan")
   }
 
+  test("t09: paragraph winner is a partial aggregate, not a window over para") {
+    // a window partitioned by paragraph funnels a universal boilerplate
+    // paragraph's whole occurrence list through one partition; the
+    // min(struct) hash-aggregate combines map-side on every input partition
+    val plan = physical("t09_paragraph_dedup")
+    assert(!plan.contains("Window"), s"t09 regressed to a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("min(struct"),
+      s"t09 lost its map-side partial min:\n$plan")
+  }
+
+  test("t10: decontamination probes the eval n-gram set via broadcast") {
+    val plan = physical("t10_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t10 lost the broadcast probe:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"t10 grew a cartesian:\n$plan")
+  }
+
   test("whole-stage codegen spans cover the oracle rollups") {
     val df = graft.SparkEntry.queries("q01_pricing_rollup")(spark, sf)
     df.collect() // finalize the AQE plan
