@@ -446,6 +446,20 @@ object SparkEntry {
       embeddings(s, dir).select(col("vec_id"),
         round(graft.ops.Similarity.norm(col("embedding")), 4).as("l2norm"))
     }),
+    // int8 symmetric quantization — the 4× memory cut a 100 TB vector store
+    // takes before ANN; scale, code mass and max reconstruction error are
+    // re-derived by the oracle with the same double-precision formulas
+    "s05_quantize_embeddings" -> ((s, dir) => {
+      import graft.ops.Similarity._
+      val sc = quantScale(col("embedding"))
+      embeddings(s, dir)
+        .select(col("vec_id"), sc.as("scale"),
+          quantCodeSum(col("embedding"), sc).as("q_sum"),
+          quantMaxErr(col("embedding"), sc).as("q_max_err"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          col("q_sum"), round(col("q_max_err"), 6).as("q_max_err"))
+        .orderBy("vec_id")
+    }),
     // IVF over the PERSISTED list_id-partitioned layout: build → write →
     // load → probe, so the driver exercises the partition-pruned scan path
     // (the 100 TB shape), not just the in-memory index. The test corpus is
@@ -1081,6 +1095,23 @@ object SparkEntry {
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2norm
         |FROM embeddings""".stripMargin,
+    // int8 symmetric quantization re-derived with the same double formulas
+    "s05_quantize_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(m, 6) AS scale,
+        |  CASE WHEN m = 0 THEN 0
+        |       ELSE CAST(list_sum(list_transform(v,
+        |              x -> CAST(round(x * 127.0 / m) AS BIGINT))) AS BIGINT)
+        |  END AS q_sum,
+        |  CASE WHEN m = 0 THEN 0.0
+        |       ELSE round(list_max(list_transform(v,
+        |              x -> abs(x - round(x * 127.0 / m) * m / 127.0))), 6)
+        |  END AS q_max_err
+        |FROM e ORDER BY vec_id""".stripMargin,
     // exact top-10 (query vector included, cos(q,q)=1 ranks first): IVF at
     // nprobe=12/16 must reproduce it bit-exactly while scanning only the
     // probed lists

@@ -30,6 +30,31 @@ object Similarity {
   def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  // --- int8 symmetric quantization (vector-store memory scale path) -------
+  // q_i = round(x_i * 127 / max|x|); reconstruct x̂_i = q_i * max|x| / 127.
+  // 4× memory cut per vector at 100 TB ANN scale; all math in double on
+  // purpose — the DuckDB oracle re-derives it with the same double ops.
+
+  /** max|x| of the embedding (the symmetric quantization scale), double. */
+  def quantScale(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Sum of the int8 codes (quantized mass; exercises the quantizer). */
+  def quantCodeSum(a: org.apache.spark.sql.Column,
+                   scale: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(scale === 0.0, lit(0L)).otherwise(
+      aggregate(a, lit(0L),
+        (acc, x) => acc + round(x.cast("double") * 127.0 / scale).cast("long")))
+
+  /** Max reconstruction error max|x - q*scale/127| of the quantized vector. */
+  def quantMaxErr(a: org.apache.spark.sql.Column,
+                  scale: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(scale === 0.0, lit(0.0)).otherwise(
+      aggregate(a, lit(0.0), (acc, x) => {
+        val xd = x.cast("double")
+        greatest(acc, abs(xd - round(xd * 127.0 / scale) * scale / 127.0))
+      }))
+
   /** Brute-force cosine top-k against one query vector (the oracle baseline).
     * One scan, one narrow projection, a k-row sort — no shuffle of vectors.
     */

@@ -78,6 +78,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)), s"pairs=$pairs")
   }
 
+  test("int8 quantization: scale, code sum, reconstruction error bound") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)) // all-zero: scale 0, everything 0
+    ).toDF("vec_id", "embedding")
+    val sc = Similarity.quantScale(col("embedding"))
+    val out = df.select(col("vec_id"), sc.as("scale"),
+        Similarity.quantCodeSum(col("embedding"), sc).as("qs"),
+        Similarity.quantMaxErr(col("embedding"), sc).as("err"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getDouble(1) == 1.0)
+    // q = round(0.5*127)=64, round(-1*127)=-127, round(0.25*127)=32 → sum -31
+    assert(out(0).getLong(2) == -31L)
+    // max err bounded by half a quantization step: scale/254
+    assert(out(0).getDouble(3) <= 1.0 / 254.0 + 1e-12)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getLong(2) == 0L &&
+      out(1).getDouble(3) == 0.0)
+  }
+
   test("rhp signature deterministic and locality-sensitive") {
     val rnd = new scala.util.Random(3)
     val v = Array.fill(64)(rnd.nextGaussian())
