@@ -36,14 +36,25 @@ object Bench {
     val bytes = pages.agg(sum(length(col("html")))).collect()(0).getLong(0)
     // untimed JIT warm-up of the kernel (BENCH/BASELINE.md methodology)
     pipeline.Extract.runNarrow(pages.limit(2000)).toDF().count()
-    val tN = System.nanoTime()
-    val narrowRows = pipeline.Extract.runNarrow(pages).toDF().count()
-    val narrowSec = (System.nanoTime() - tN) / 1e9
-    val t0 = System.nanoTime()
-    val outRows = pipeline.Extract
+    // min-of-3 for BOTH headline measurements: the driver harness loads the
+    // box (load-avg swings 1.7→10 observed), and a single-shot reading under
+    // that regime is noise — r03's official narrow figure was ~95× off the
+    // reproducible number. Minimum wall time is the least-contended estimate
+    // (same discipline as ScalingBench).
+    def minOf3(run: () => Long): (Double, Long) = {
+      var rows = 0L
+      val secs = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        rows = run()
+        (System.nanoTime() - t) / 1e9
+      }
+      (secs.min, rows)
+    }
+    val (narrowSec, narrowRows) =
+      minOf3(() => pipeline.Extract.runNarrow(pages).toDF().count())
+    val (extractSec, outRows) = minOf3(() => pipeline.Extract
       .run(pages, model.PipelineConf(shufflePartitions = cpus.toInt * 2))
-      .toDF().count()
-    val extractSec = (System.nanoTime() - t0) / 1e9
+      .toDF().count())
     val docsPerSec = docs / extractSec
     val mbPerSec = bytes / 1048576.0 / extractSec
     pages.unpersist()

@@ -16,6 +16,14 @@ import graft.model.PipelineConf
   * data — and have no SQL oracle (extraction is not SQL-expressible;
   * the golden gate x02 IS the oracle). The q* queries each carry a DuckDB
   * oracle in `oracleSql` with identical column names/aliases.
+  *
+  * CACHE CONTRACT: the d04-d07 queries persist() their shingle-set scratch
+  * for the lifetime of the returned (lazy) DataFrame — unpersisting inside
+  * the query would force a recompute at materialization. Callers running
+  * many queries in one session (Bench, Verify) MUST
+  * `spark.catalog.clearCache()` after materializing each result; both do.
+  * One-shot library entry points that can materialize internally release
+  * their own scratch (e.g. [[graft.ops.Curation.curate]]).
   */
 object SparkEntry {
 
@@ -354,10 +362,14 @@ object SparkEntry {
         .select(explode(array_distinct(wordNgrams(col("text"), 8))).as("g"))
       val seed = docs.where(col("doc_id") === 13)
         .select(concat_ws(" ", slice(split(col("text"), " +"), 1, 12)).as("seed"))
+      // LEFT join of the 1-row broadcast seed (not crossJoin): a scale
+      // lacking doc 13 keeps every train row with seed = '' — exactly the
+      // oracle's coalesce behavior
       val train = docs.where(col("doc_id") % 97 =!= 13)
-        .crossJoin(broadcast(seed))
+        .join(broadcast(seed), lit(true), "left")
         .select(col("doc_id"),
-          when(col("doc_id") % 31 === 7, concat_ws(" ", col("text"), col("seed")))
+          when(col("doc_id") % 31 === 7,
+            concat_ws(" ", col("text"), coalesce(col("seed"), lit(""))))
             .otherwise(col("text")).as("ptext"))
         .select(col("doc_id"), wordNgrams(col("ptext"), 8).as("g8"))
       graft.ops.Decontam.overlap(train, "g8", evalG).orderBy("doc_id")
@@ -368,9 +380,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > 1)
     }),
+    // same materialized-shingle-set path as d04-d07 (ONE tokenize pass per
+    // query shape); signatures are consumed once here, so no persist needed
     "d02_minhash_pairs" -> ((s, dir) => {
-      val sigs = graft.ops.Dedup.signatures(documents(s, dir), "doc_id", "text")
-      graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.5)
+      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text")
+      graft.ops.Dedup.minhashCandidates(
+          graft.ops.Dedup.signaturesFromSets(sh), minEstJaccard = 0.5)
         .orderBy("id_a", "id_b")
     }),
     "d03_simhash_pairs" -> ((s, dir) => {
@@ -1047,7 +1062,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id = 13),
         |train AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 31 = 7 THEN text || ' ' || (SELECT s FROM seed)
+        |    CASE WHEN doc_id % 31 = 7
+        |         THEN text || ' ' || coalesce((SELECT s FROM seed), '')
         |         ELSE text END AS ptext
         |  FROM documents WHERE doc_id % 97 <> 13),
         |toks AS (

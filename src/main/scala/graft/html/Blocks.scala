@@ -65,8 +65,23 @@ object Blocks {
     def clear(): Unit = {
       java.util.Arrays.fill(srcs.asInstanceOf[Array[AnyRef]], 0, n, null) // no doc-lifetime pins
       n = 0
+      // shrink outlier growth back to a modest cap: one multi-MB document
+      // must pay a reallocation, not pin ~2× its size per executor thread
+      // for the JVM lifetime (32 task threads × MBs = tens of MB resident)
+      if (buf.length > BufShrinkCap) buf = new Array[Char](BufShrinkCap)
+      if (srcs.length > RunsShrinkCap) {
+        srcs = new Array[String](RunsShrinkCap)
+        offA = new Array[Int](RunsShrinkCap)
+        offB = new Array[Int](RunsShrinkCap)
+        flags = new Array[Byte](RunsShrinkCap)
+      }
     }
   }
+  /** Scratch retention caps: 128K chars (256 KB) covers every normal page's
+    * largest block; 4096 runs covers any sane block's text-piece count.
+    */
+  private[html] val BufShrinkCap = 128 * 1024
+  private[html] val RunsShrinkCap = 4096
   private[html] val scratch = new ThreadLocal[Scratch] {
     override def initialValue(): Scratch = new Scratch
   }

@@ -29,10 +29,15 @@ object Curation {
     val cand = Dedup.minhashCandidates(
         Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
       .select("id_a", "id_b")
-    // verified pairs are emitted with id_a < id_b, so id_b is the loser
+    // verified pairs are emitted with id_a < id_b, so id_b is the loser.
+    // localCheckpoint (eager) materializes the pair-cardinality loser set
+    // NOW, so the shingle scratch can be unpersisted before returning —
+    // curate never leaks a cached DataFrame into the caller's session.
     val losers = Dedup.ngramJaccardSets(cand, sh)
       .where(col("jaccard") >= dupTau)
       .select(col("id_b").as("loser_id")).distinct()
+      .localCheckpoint()
+    sh.unpersist()
 
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextStats.qualityScore(col(textCol)).as("q"),

@@ -44,19 +44,29 @@ object FontDecode {
     */
   private val CacheCapBytes = 64L << 20
   private final class SizedCache[V <: AnyRef](sizeOf: V => Long) {
-    private val map = new java.util.concurrent.ConcurrentHashMap[BytesKey, V]()
-    private val bytes = new java.util.concurrent.atomic.AtomicLong()
+    // an Epoch pairs the map with its byte counter so the cap check is
+    // exact: only the thread whose putIfAbsent WINS charges the counter
+    // (concurrent misses on one key no longer double-charge), and eviction
+    // swaps the whole epoch atomically via CAS — no clear()/set() window in
+    // which concurrently-inserted entries end up retained but uncounted.
+    // Entries raced into a just-retired epoch die with it (GC), at worst
+    // re-paying one font decode in the new epoch.
+    private final class Epoch {
+      val map = new java.util.concurrent.ConcurrentHashMap[BytesKey, V]()
+      val bytes = new java.util.concurrent.atomic.AtomicLong()
+    }
+    private val epoch = new java.util.concurrent.atomic.AtomicReference(new Epoch)
     def getOrCompute(data: Array[Byte])(compute: => V): V = {
+      val e = epoch.get()
       val k = new BytesKey(data)
-      val hit = map.get(k)
+      val hit = e.map.get(k)
       if (hit != null) return hit
       val v = compute
+      val prev = e.map.putIfAbsent(k, v)
+      if (prev != null) return prev // lost the insert race: no charge
       val cost = data.length + sizeOf(v) + 64L
-      if (bytes.addAndGet(cost) > CacheCapBytes) {
-        map.clear()
-        bytes.set(cost)
-      }
-      map.put(k, v)
+      if (e.bytes.addAndGet(cost) > CacheCapBytes)
+        epoch.compareAndSet(e, new Epoch) // one swapper wins; rest no-op
       v
     }
   }

@@ -55,9 +55,18 @@ object Entities {
     * after the `;`), or null when the run is not a recognized reference.
     */
   def refAt(s: String, i: Int, limit: Int): (String, Int) = {
-    val semi = s.indexOf(';', i + 1)
-    // entity names are short; cap the scan so a lone '&' doesn't search far
-    if (semi <= i || semi >= limit || semi - i > 10) return null
+    // entity names are short: scan for ';' only within [i+1, i+11) ∩ limit —
+    // a bounded charAt loop, NOT String.indexOf over the whole source (on
+    // '&'-dense pages with sparse ';' that per-'&' scan is O(doc), making
+    // decode quadratic on the per-document hot path)
+    var semi = -1
+    val scanEnd = math.min(limit, i + 11)
+    var j = i + 1
+    while (semi < 0 && j < scanEnd) {
+      if (s.charAt(j) == ';') semi = j
+      j += 1
+    }
+    if (semi <= i) return null
     val body = s.substring(i + 1, semi)
     val rep: String =
       if (body.startsWith("#x") || body.startsWith("#X")) {
