@@ -65,10 +65,13 @@ object SyntheticPages {
   def pageFor(docId: Long, docText: String, lang: String): Spec = {
     val words0 = docText.trim.split("\\s+").toVector.filter(_.nonEmpty)
     if (isScannedDoc(docId)) {
+      // mixed case + punctuation, filtered to the glyph set (a real scan of
+      // unsupported characters simply has no ink for them). Words must keep
+      // ≥1 letter/digit: a line of only dot-height punctuation would fall
+      // under the recognizer's 3-row band floor and read as specks.
       val ocrWords = words0.take(24)
-        .map(_.toUpperCase(java.util.Locale.ROOT).filter(c =>
-          (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
-        .filter(_.nonEmpty)
+        .map(_.filter(graft.ocr.GlyphFont.supported))
+        .filter(_.exists(Character.isLetterOrDigit))
       val lines = (if (ocrWords.isEmpty) Vector(s"SCAN $docId") else ocrWords)
         .grouped(6).map(_.mkString(" ")).toVector
       val variant = docId / 50

@@ -38,20 +38,29 @@ object GlyphOcr {
     def matchRate: Double = if (glyphs == 0) 0.0 else matched.toDouble / glyphs
   }
 
-  /** Trimmed templates: (char, width, rows-of-bits masks per column span). */
-  private val templates: Vector[(Char, Int, Array[Int])] = Chars.map { c =>
+  /** Templates trimmed in BOTH dimensions: (char, width, height, per-row
+    * bit masks over the trim box). Matching competes only within the
+    * (width, height) class — this is what makes mixed case work: an
+    * x-height 'o' (5 rows) and a capital 'O' (7 rows) never compare, and a
+    * run's bits are extracted relative to its OWN ink box, so the glyph's
+    * vertical position inside the line band (ascender vs x-height vs
+    * punctuation row) cancels out.
+    */
+  private val templates: Vector[(Char, Int, Int, Array[Int])] = Chars.map { c =>
     val (lo, hi) = trim(c)
+    val (rlo, rhi) = rowTrim(c)
     val width = hi - lo + 1
-    val colsBits = Array.tabulate(H) { row =>
+    val height = rhi - rlo + 1
+    val colsBits = Array.tabulate(height) { r =>
       var bits = 0
       var col = lo
       while (col <= hi) {
-        if (ink(c, col, row)) bits |= 1 << (col - lo)
+        if (ink(c, col, rlo + r)) bits |= 1 << (col - lo)
         col += 1
       }
       bits
     }
-    (c, width, colsBits)
+    (c, width, height, colsBits)
   }.toVector
 
   def recognize(gray: Array[Byte], w: Int, h: Int): OcrResult = {
@@ -123,22 +132,27 @@ object GlyphOcr {
         while (rr <= bot) { if (grid(rr * w + x)) return true; rr += 1 }
         false
       }
-      var prevEnd = -1
+      // spaces by relative pitch: consecutive glyph STARTS sit at cell
+      // boundaries ± their in-cell start column (≤ 2, OcrSpec-gated), so
+      // round(Δstart / Pitch) is the exact cell distance and cells-1 the
+      // exact space count — robust to narrow punctuation, unlike a raw
+      // ink-gap threshold (a '.' before an 'I' would fake a space)
+      var prevStart = -1
       var x = 0
       while (x < w) {
         if (colInk(x)) {
           var e = x
           while (e + 1 < w && colInk(e + 1)) e += 1
-          if (prevEnd >= 0) {
-            val gap = x - prevEnd - 1
-            if (gap >= 5) { var k = (gap + 2) / 6; while (k > 0) { sb.append(' '); k -= 1 } }
+          if (prevStart >= 0) {
+            var k = (2 * (x - prevStart) + Pitch) / (2 * Pitch) - 1 // round(Δ/Pitch)-1
+            while (k > 0) { sb.append(' '); k -= 1 }
           }
           sb.append(matchGlyph(grid, w, top, bot, x, e) match {
             case Some(c) => matched += 1; c
             case None => '?'
           })
           glyphs += 1
-          prevEnd = e
+          prevStart = x
           x = e + 1
         } else x += 1
       }
@@ -146,34 +160,45 @@ object GlyphOcr {
     OcrResult(sb.toString, glyphs, matched, bestSkew)
   }
 
-  /** Nearest trimmed template of the run [x0, x1] × [top, bot]; accept at
-    * hamming ≤ 1 — sound because every same-width template pair is ≥ 3
-    * apart (OcrSpec gate), so a ≤ 1-bit corruption is still strictly
-    * nearest to the true glyph. Ties: lowest char wins (deterministic).
+  /** Nearest trimmed template of the run [x0, x1] × its own ink-row box
+    * inside [top, bot]; accept at hamming ≤ 1 — sound because every
+    * template pair in the same (width, height) class is ≥ 3 apart (OcrSpec
+    * gate), so a ≤ 1-bit corruption is still strictly nearest to the true
+    * glyph. Ties: lowest char wins (deterministic).
     */
   private def matchGlyph(grid: Array[Boolean], w: Int, top: Int, bot: Int,
                          x0: Int, x1: Int): Option[Char] = {
     val width = x1 - x0 + 1
     if (width > W) return None
-    val runBits = Array.tabulate(H) { row =>
-      val r = top + row
+    // run's own ink-row bounding box (vertical trim, mirroring the templates)
+    var rTop = -1; var rBot = -1
+    var r = top
+    while (r <= bot) {
+      var col = x0
+      var any = false
+      while (col <= x1 && !any) { any = grid(r * w + col); col += 1 }
+      if (any) { if (rTop < 0) rTop = r; rBot = r }
+      r += 1
+    }
+    if (rTop < 0) return None
+    val height = rBot - rTop + 1
+    if (height > H) return None
+    val runBits = Array.tabulate(height) { row =>
       var bits = 0
-      if (r <= bot) {
-        var col = 0
-        while (col < width) {
-          if (grid(r * w + x0 + col)) bits |= 1 << col
-          col += 1
-        }
+      var col = 0
+      while (col < width) {
+        if (grid((rTop + row) * w + x0 + col)) bits |= 1 << col
+        col += 1
       }
       bits
     }
     var best: Char = 0
     var bestDist = Int.MaxValue
-    templates.foreach { case (c, tw, tbits) =>
-      if (tw == width) {
+    templates.foreach { case (c, tw, th, tbits) =>
+      if (tw == width && th == height) {
         var d = 0
         var row = 0
-        while (row < H && d < bestDist) {
+        while (row < height && d < bestDist) {
           d += java.lang.Integer.bitCount(runBits(row) ^ tbits(row))
           row += 1
         }

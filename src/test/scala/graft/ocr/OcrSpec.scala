@@ -5,18 +5,27 @@ import graft.ocr.GlyphFont._
 
 class OcrSpec extends AnyFunSuite {
 
-  test("font: same-width trimmed templates are pairwise distinct (hamming ≥ 3)") {
+  test("font: same-(w,h)-class trimmed templates are pairwise distinct (hamming ≥ 3)") {
     // nearest-template matching at accept-threshold 1 is sound iff no two
-    // glyphs of equal trimmed width are within 2 bit flips: a ≤1-bit
-    // corruption is then strictly nearest to the true glyph
+    // glyphs of equal trimmed width AND height are within 2 bit flips: a
+    // ≤1-bit corruption is then strictly nearest to the true glyph
     val ts = Chars.map { c =>
       val (lo, hi) = trim(c)
-      val bits = for (row <- 0 until H; col <- lo to hi) yield ink(c, col, row)
-      (c, hi - lo + 1, bits)
+      val (rlo, rhi) = rowTrim(c)
+      val bits = for (row <- rlo to rhi; col <- lo to hi) yield ink(c, col, row)
+      (c, hi - lo + 1, rhi - rlo + 1, bits)
     }
-    for (a <- ts; b <- ts if a._1 < b._1 && a._2 == b._2) {
-      val d = a._3.zip(b._3).count { case (x, y) => x != y }
-      assert(d >= 3, s"glyphs ${a._1}/${b._1} too close: hamming $d")
+    for (a <- ts; b <- ts if a._1 < b._1 && a._2 == b._2 && a._3 == b._3) {
+      val d = a._4.zip(b._4).count { case (x, y) => x != y }
+      assert(d >= 3, s"glyphs ${a._1}/${b._1} (${a._2}x${a._3}) too close: hamming $d")
+    }
+  }
+
+  test("font: every glyph starts within cell column 2 (pitch-space soundness)") {
+    // space inference rounds Δstart/Pitch, exact iff in-cell start ≤ 2
+    Chars.foreach { c =>
+      val (lo, _) = trim(c)
+      assert(lo <= 2, s"glyph $c starts at col $lo")
     }
   }
 
@@ -28,6 +37,40 @@ class OcrSpec extends AnyFunSuite {
     assert(r.text == lines.mkString("\n"))
     assert(r.matched == r.glyphs)
     assert(r.skew == 0.0)
+  }
+
+  test("mixed case and punctuation: clean render → exact recognition") {
+    val lines = Vector(
+      "Hello World, it's 2026!",
+      "the quick brown fox jumps",
+      "over the lazy dog? (yes)",
+      "abcdefghijklmnopqrstuvwxyz",
+      "punct: a.b c'd e-f \"g\" h;i",
+      "Ascenders bdfhklt dotted ij")
+    val bmp = GlyphRender.render(lines)
+    val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"))
+    assert(r.matched == r.glyphs)
+  }
+
+  test("mixed case survives skew + specks + RGB conversion") {
+    val lines = Vector("Invoice no. 42, page 1", "Total: 99 euros (net)")
+    GlyphOcr.SkewCandidates.grouped(5).map(_.head).foreach { s =>
+      val bmp = GlyphRender.render(lines, skew0 = s, noiseSeed = 11L, noisePerGap = 3)
+      val gray = GlyphOcr.rgbToGray(GlyphRender.toRgb(bmp), bmp.w, bmp.h)
+      val r = GlyphOcr.recognize(gray, bmp.w, bmp.h)
+      assert(r.text == lines.mkString("\n"), s"skew $s: '${r.text}'")
+      assert(r.matchRate == 1.0)
+    }
+  }
+
+  test("pitch-based spacing: narrow punctuation neither fakes nor eats spaces") {
+    // '.' end-col 1 followed by col-1-start 'I' was the raw-gap threshold's
+    // failure case; x-height-only lines exercise the 5-row band path
+    val lines = Vector("a.I x.1 a. .a", "mm ii '' i'i w,w", "no uppercase here at all")
+    val bmp = GlyphRender.render(lines)
+    val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
   }
 
   test("every skew candidate is recovered and un-sheared exactly") {
