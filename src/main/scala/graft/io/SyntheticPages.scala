@@ -80,9 +80,12 @@ object SyntheticPages {
       val bmp = graft.ocr.GlyphRender.render(lines, skew,
         noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt)
       val rgb = variant % 2 == 1
+      // every third scanned doc embeds its raster as DCTDecode (JPEG) — the
+      // dominant real-world scanned filter; gray and RGB JPEG both occur
+      val dct = variant % 3 == 2
       val samples = if (rgb) graft.ocr.GlyphRender.toRgb(bmp) else bmp.gray
       Spec(urlOf(docId), Epoch + docId * 1000L,
-        MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb),
+        MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb, dct = dct),
         lines.mkString("\n"), lang)
     } else if (isBrokenDoc(docId)) {
       val junk = new java.lang.StringBuilder("%PDF-1.7\n")

@@ -298,7 +298,7 @@ object MiniPdf {
     * 4 content, 5 image.
     */
   def buildScanned(samples: Array[Byte], w: Int, h: Int, rgb: Boolean = false,
-                   padTo: Int = 1024): Array[Byte] = {
+                   padTo: Int = 1024, dct: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def wr(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     wr("%PDF-1.7\n")
@@ -308,10 +308,11 @@ object MiniPdf {
       "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
     val content = s"q $w 0 0 $h 72 ${720 - h} cm /Im0 Do Q"
     wr(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
-    val packed = deflate(samples)
+    val packed = if (dct) encodeJpeg(samples, w, h, rgb) else deflate(samples)
     val cs = if (rgb) "/DeviceRGB" else "/DeviceGray"
+    val filter = if (dct) "/DCTDecode" else "/FlateDecode"
     wr(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
-      s"/ColorSpace $cs /BitsPerComponent 8 /Filter /FlateDecode " +
+      s"/ColorSpace $cs /BitsPerComponent 8 /Filter $filter " +
       s"/Length ${packed.length} >>\nstream\n")
     out.write(packed)
     wr("\nendstream\nendobj\n")
@@ -322,6 +323,41 @@ object MiniPdf {
       wr("\n")
     }
     out.toByteArray
+  }
+
+  /** JPEG-encode samples (gray 1 B/px or RGB 3 B/px interleaved) at maximum
+    * quality via the in-JDK writer — the DCTDecode fixture payload (real
+    * scanned PDFs overwhelmingly embed JPEG rasters, the class the
+    * reference feeds to pdf2image+Tesseract, ocr_adapters.py:62). Quality
+    * 1.0 keeps the round-trip error far inside the OCR binarization margin
+    * (|err| ≲ 16 around 0/255 edges vs threshold 128), so text recovery is
+    * exact even though JPEG is lossy. Deterministic for a fixed JDK encoder.
+    */
+  def encodeJpeg(samples: Array[Byte], w: Int, h: Int, rgb: Boolean): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h,
+      if (rgb) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_BYTE_GRAY)
+    if (rgb) {
+      var i = 0
+      while (i < w * h) {
+        val r = samples(3 * i) & 0xFF
+        val g = samples(3 * i + 1) & 0xFF
+        val b = samples(3 * i + 2) & 0xFF
+        img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+        i += 1
+      }
+    } else img.getRaster.setDataElements(0, 0, w, h, samples)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
   }
 
   /** Content stream laying out a rows×cols grid of cell texts at fixed

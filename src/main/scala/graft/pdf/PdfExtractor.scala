@@ -240,17 +240,56 @@ object PdfExtractor {
       val bits = objs.num(d.getOrElse("BitsPerComponent", PNull)).map(_.toInt).getOrElse(0)
       val cs = objs.name(d.getOrElse("ColorSpace", PNull)).getOrElse("")
       if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) || bits != 8) None
-      else decodeStream(s, objs).toOption.flatMap { raw =>
-        val gray =
-          if (cs == "DeviceGray" && raw.length >= w * h) Some(raw)
-          else if (cs == "DeviceRGB" && raw.length >= 3 * w * h)
-            Some(graft.ocr.GlyphOcr.rgbToGray(raw, w, h))
-          else None // 1-bit/CMYK/ICC images: no OCR, page stays empty
+      else {
+        // DCTDecode (the overwhelming real-world scanned-raster filter,
+        // cf. reference ocr_adapters.py:62 feeding pdf2image): the payload
+        // IS a JPEG — decode via the in-JDK reader straight to luminance.
+        // Only the sole-filter form is handled (JPEG inside a second
+        // compression layer does not occur in practice).
+        val gray: Option[Array[Byte]] =
+          if (filterNames(s, objs) == Vector("DCTDecode"))
+            jpegGray(rawData(s, objs), w, h)
+          else decodeStream(s, objs).toOption.flatMap { raw =>
+            if (cs == "DeviceGray" && raw.length >= w * h) Some(raw)
+            else if (cs == "DeviceRGB" && raw.length >= 3 * w * h)
+              Some(graft.ocr.GlyphOcr.rgbToGray(raw, w, h))
+            else None // 1-bit/CMYK/ICC images: no OCR, page stays empty
+          }
         gray.map(g => graft.ocr.GlyphOcr.recognize(g, w, h))
       }
     }.filter(_.glyphs > 0)
     if (results.isEmpty) None
     else Some(results.reduce((a, b) => graft.ocr.GlyphOcr.OcrResult(
       a.text + "\n" + b.text, a.glyphs + b.glyphs, a.matched + b.matched, a.skew)))
+  }
+
+  /** JPEG bytes → 8-bit luminance samples (None on decode failure or a
+    * dict/JPEG dimension mismatch). Gray JPEGs pass through; color ones
+    * take the same integer 299/587/114 weights as
+    * [[graft.ocr.GlyphOcr.rgbToGray]]. Total: never throws.
+    */
+  private def jpegGray(data: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null || img.getWidth != w || img.getHeight != h) return None
+      val raster = img.getRaster
+      val n = w * h
+      val out = new Array[Byte](n)
+      if (raster.getNumBands == 1) {
+        val px = raster.getSamples(0, 0, w, h, 0, null.asInstanceOf[Array[Int]])
+        var i = 0
+        while (i < n) { out(i) = px(i).toByte; i += 1 }
+      } else if (raster.getNumBands >= 3) {
+        val r = raster.getSamples(0, 0, w, h, 0, null.asInstanceOf[Array[Int]])
+        val g = raster.getSamples(0, 0, w, h, 1, null.asInstanceOf[Array[Int]])
+        val b = raster.getSamples(0, 0, w, h, 2, null.asInstanceOf[Array[Int]])
+        var i = 0
+        while (i < n) {
+          out(i) = ((r(i) * 299 + g(i) * 587 + b(i) * 114) / 1000).toByte
+          i += 1
+        }
+      } else return None
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

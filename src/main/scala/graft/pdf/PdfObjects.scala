@@ -639,21 +639,32 @@ object PdfObjects {
     -1
   }
 
-  /** Apply the stream's filter chain. Supported: none, FlateDecode.
-    * Returns Left(filterName) on an unsupported filter.
-    */
-  def decodeStream(s: PStream, objs: Objects): Either[String, Array[Byte]] = {
-    val filters: Vector[String] = objs.resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+  /** Resolved filter-chain names of a stream (empty = unfiltered). */
+  def filterNames(s: PStream, objs: Objects): Vector[String] =
+    objs.resolve(s.dict.m.getOrElse("Filter", PNull)) match {
       case PName(f) => Vector(f)
       case PArr(fs) => fs.flatMap(f => objs.name(f))
       case _ => Vector.empty
     }
+
+  /** Stream payload bytes, honoring /Length when it is a resolvable sane
+    * number (the scan-delimited raw can over-read up to `endstream`).
+    */
+  def rawData(s: PStream, objs: Objects): Array[Byte] = {
     var data = s.raw
-    // honor /Length when it is a direct or resolvable number and sane
     objs.num(s.dict.m.getOrElse("Length", PNull)).foreach { len =>
       val l = len.toInt
       if (l >= 0 && l <= s.raw.length) data = java.util.Arrays.copyOfRange(s.raw, 0, l)
     }
+    data
+  }
+
+  /** Apply the stream's filter chain. Supported: none, FlateDecode.
+    * Returns Left(filterName) on an unsupported filter.
+    */
+  def decodeStream(s: PStream, objs: Objects): Either[String, Array[Byte]] = {
+    val filters: Vector[String] = filterNames(s, objs)
+    val data = rawData(s, objs)
     // /DecodeParms: a dict applies to a single filter; an ARRAY is
     // filter-parallel (one entry per /Filter, entries may be null), so each
     // fold step gets its index-matched dict — e.g. in

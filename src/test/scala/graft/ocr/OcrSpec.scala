@@ -126,6 +126,43 @@ class OcrSpec extends AnyFunSuite {
     }
   }
 
+  test("DCTDecode scanned PDF: JPEG raster → OCR text, gray and RGB") {
+    // JPEG is lossy; quality-1.0 round-trip error stays far inside the
+    // binarization margin, so recovery is byte-exact — the real-world
+    // scanned-PDF shape (reference ocr_adapters.py:62 via pdf2image)
+    val lines = Vector("Jpeg scan, page 1!", "second line (ok)")
+    Seq(false, true).foreach { rgb =>
+      val bmp = GlyphRender.render(lines, skew0 = 0.025, noiseSeed = 3L, noisePerGap = 2)
+      val samples = if (rgb) GlyphRender.toRgb(bmp) else bmp.gray
+      val pdf = graft.pdf.MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb, dct = true)
+      assert(new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("/DCTDecode"))
+      val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+      assert(doc.docType == "scanned", s"rgb=$rgb type=${doc.docType}")
+      assert(doc.text == lines.mkString("\n"), s"rgb=$rgb text='${doc.text}'")
+      assert(doc.confidence == 100.0)
+    }
+  }
+
+  test("truncated JPEG payload degrades to empty scanned doc, never throws") {
+    val lines = Vector("Broken jpeg here")
+    val bmp = GlyphRender.render(lines)
+    val pdf = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, dct = true)
+    // corrupt the JPEG body: zero 300 bytes from its SOI marker (FFD8) —
+    // kills the header tables, ImageIO.read returns null/throws → no OCR
+    var soi = -1
+    var i = 0
+    while (soi < 0 && i + 1 < pdf.length) {
+      if ((pdf(i) & 0xFF) == 0xFF && (pdf(i + 1) & 0xFF) == 0xD8) soi = i
+      i += 1
+    }
+    assert(soi > 0)
+    val bad = pdf.clone()
+    java.util.Arrays.fill(bad, soi, math.min(soi + 300, bad.length), 0.toByte)
+    val doc = graft.pdf.PdfExtractor.extract(bad).toOption.get
+    assert(doc.text == "")
+  }
+
   test("image-only PDF without decodable samples keeps the old empty degrade") {
     // 1-bit image: documented no-OCR case — empty text, scanned class
     val pdf = graft.pdf.MiniPdf.buildScanned(Array.fill[Byte](8)(0x55), 8, 8)
