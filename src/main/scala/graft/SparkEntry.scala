@@ -68,11 +68,18 @@ object SparkEntry {
            Seq(gate(sib.getPath, 64)) else Nil)
       runs.reduce(_ unionAll _)
     }),
+    // oracle-checked since r4: doc_type/status/pages/text_len are re-derived
+    // in SQL from the generator's modular rules (VERDICT r3 directive 5) —
+    // this gates the whole classification ladder (scanned/native_text/mixed
+    // thresholds, error lifecycle) and the page/char accounting, not just
+    // rows>0
     "x03_type_counts" -> ((s, dir) => {
       val pages = SyntheticPages.fromDocuments(s, dir)
       Extract.runNarrow(pages).toDF()
         .groupBy("doc_type", "status")
-        .agg(count(lit(1)).as("cnt"), round(avg("confidence"), 2).as("avg_conf"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("page_count").as("total_pages"),
+          sum("text_len").as("total_chars"))
         .orderBy("doc_type", "status")
     }),
 
@@ -622,6 +629,93 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** x03/x05/x06 oracle scaffold: per-document (doc_type, status, pages,
+    * text_len, n_tables) re-derived in SQL from the generator's modular
+    * rules (SyntheticPages: %50==17 scanned, %50==41 broken, %10==9 PDF,
+    * %7==3 table, %4==1 Identity-H) plus the extractor's OWN classification
+    * thresholds (PdfExtractor: native_text iff avg span text/page > 100).
+    * text_len is the GOLDEN length (the x02 gate proves text == golden), so
+    * each component is a closed-form function of (doc_id, text, lang):
+    *  - html: "Documento N" + 12-word paras joined "\n\n", +6 chars for the
+    *    entity fixture when ≥ 2 paras, +accent word by lang;
+    *  - pdf: words+safe-word → 8-word lines → 10-line pages; Identity-H
+    *    single-page branch when id%4==1, id%7!=3 and all words are Latin-1;
+    *    the %7==3 slot appends the ruled-table page "key value\nid N";
+    *  - scanned: first 24 words filtered to the glyph set (≥1 [A-Za-z0-9]),
+    *    6-word lines; "SCAN N" fallback when none survive;
+    *  - broken: status error, everything zero.
+    */
+  private val ExtractDerivedCte: String =
+    """WITH base AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |    coalesce(text, '') AS text, coalesce(lang, 'en') AS lang
+      |  FROM documents),
+      |w AS (
+      |  SELECT id, lang,
+      |    CASE WHEN id % 50 = 17 THEN 'scanned'
+      |         WHEN id % 50 = 41 THEN 'broken'
+      |         WHEN id % 10 = 9 THEN 'pdf' ELSE 'html' END AS route,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS words,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS wchars,
+      |    length(CAST(id AS VARCHAR)) AS idlen
+      |  FROM base),
+      |m AS (
+      |  SELECT *,
+      |    CASE lang WHEN 'es' THEN 11 WHEN 'de' THEN 8 WHEN 'fr' THEN 4
+      |      WHEN 'en' THEN 5
+      |      WHEN 'zh' THEN CASE WHEN route = 'pdf' THEN 14 ELSE 4 END
+      |      ELSE 5 END AS alen,
+      |    len(words) + 1 AS nw
+      |  FROM w),
+      |htmlrows AS (
+      |  SELECT id, 'html' AS doc_type, 'processed' AS status, 1 AS pages,
+      |    (10 + idlen) + 2 * npar + (wchars + alen) + (nw - npar)
+      |      + CASE WHEN npar >= 2 THEN 6 ELSE 0 END AS tlen,
+      |    CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS ntab
+      |  FROM (SELECT *, (nw + 11) // 12 AS npar FROM m WHERE route = 'html')),
+      |pdfm AS (
+      |  SELECT *, npg0 + CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS npg,
+      |    (id % 4 = 1 AND id % 7 <> 3
+      |     AND len(list_filter(words, x -> regexp_matches(x, '[^ -ÿ]'))) = 0) AS t0
+      |  FROM (SELECT *, (nw + 7) // 8 AS nl, ((nw + 7) // 8 + 9) // 10 AS npg0
+      |        FROM m WHERE route = 'pdf')),
+      |pdfrows AS (
+      |  SELECT id,
+      |    CASE WHEN (tlen - 2 * (pages - 1)) > 100 * pages
+      |         THEN 'native_text' ELSE 'mixed' END AS doc_type,
+      |    'processed' AS status, pages, tlen,
+      |    CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS ntab
+      |  FROM (
+      |    SELECT id, CASE WHEN t0 THEN 1 ELSE npg END AS pages,
+      |      CASE WHEN t0 THEN (wchars + alen) + (nw - nl) + (nl - 1)
+      |           ELSE (wchars + alen) + (nw - nl) + (nl - npg0) + 2 * (npg - 1)
+      |             + CASE WHEN id % 7 = 3 THEN 13 + idlen ELSE 0 END
+      |      END AS tlen
+      |    FROM pdfm)),
+      |scrows AS (
+      |  SELECT id, 'scanned' AS doc_type, 'processed' AS status, 1 AS pages,
+      |    CASE WHEN knw = 0 THEN 5 + idlen
+      |         ELSE kchars + (knw - nlines) + (nlines - 1) END AS tlen,
+      |    0 AS ntab
+      |  FROM (
+      |    SELECT id, idlen, len(kw) AS knw, (len(kw) + 5) // 6 AS nlines,
+      |      coalesce(list_sum(list_transform(kw, x -> length(x))), 0) AS kchars
+      |    FROM (
+      |      SELECT id, idlen,
+      |        list_filter(
+      |          list_transform(words[1:24],
+      |            x -> regexp_replace(x, '[^A-Za-z0-9.,:;!?''"()-]', '', 'g')),
+      |          x -> regexp_matches(x, '[A-Za-z0-9]')) AS kw
+      |      FROM m WHERE route = 'scanned'))),
+      |brrows AS (
+      |  SELECT id, 'pdf' AS doc_type, 'error' AS status, 0 AS pages,
+      |    0 AS tlen, 0 AS ntab
+      |  FROM m WHERE route = 'broken'),
+      |alldocs AS (
+      |  SELECT * FROM htmlrows UNION ALL SELECT * FROM pdfrows
+      |  UNION ALL SELECT * FROM scrows UNION ALL SELECT * FROM brrows)
+      |""".stripMargin
+
   /** Shared SQL: doc_id → word-3-gram shingle FNV-64 hashes / token hashes
     * (the exact `Dedup.fnv64` fold, mod-2^64 in HUGEINT).
     *
@@ -742,6 +836,22 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "x03_type_counts" -> (ExtractDerivedCte +
+      """SELECT doc_type, status, count(*) AS cnt,
+        |  CAST(sum(pages) AS BIGINT) AS total_pages,
+        |  CAST(sum(tlen) AS BIGINT) AS total_chars
+        |FROM alldocs GROUP BY doc_type, status
+        |ORDER BY doc_type, status""".stripMargin),
+    "x05_storage_stats" -> (ExtractDerivedCte +
+      """SELECT doc_type, count(*) AS docs,
+        |  CAST(sum(tlen) AS BIGINT) AS text_bytes,
+        |  round(sum(tlen) / 1048576.0, 2) AS text_mb
+        |FROM alldocs GROUP BY doc_type ORDER BY doc_type""".stripMargin),
+    "x06_table_stats" -> (ExtractDerivedCte +
+      """SELECT doc_type, count(*) AS docs,
+        |  CAST(sum(ntab) AS BIGINT) AS n_tables,
+        |  CAST(count(*) FILTER (ntab > 0) AS BIGINT) AS docs_with_tables
+        |FROM alldocs GROUP BY doc_type ORDER BY doc_type""".stripMargin),
     "d02_minhash_pairs" -> d02OracleSql,
     "d03_simhash_pairs" -> d03OracleSql,
     "m01_multimodal_features" -> m01OracleSql,
