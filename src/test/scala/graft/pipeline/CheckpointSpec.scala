@@ -152,6 +152,47 @@ class CheckpointSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("crash between data write and manifest append re-runs the bucket cleanly") {
+    // the commit protocol's crash window: step 3 (dynamic partition
+    // overwrite of the data) completed for SOME rows of a bucket, the job
+    // died before step 4 (manifest append). The orphaned half-written
+    // partition must be invisible to resume (no manifest row = not
+    // committed) and must be OVERWRITTEN, not appended to, when the bucket
+    // re-runs — final contents identical to a one-shot run, zero dupes.
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val out = freshDir()
+    // run 1 commits buckets 0-7 normally
+    Checkpoint.run(pages.where(Checkpoint.bucketCol(col("url"), 16) < 8),
+      out, ParquetIO, conf, "run-1", numBuckets = 16)
+
+    // simulated crash of run 2: bucket 9's data partition half-written
+    // (every other row), manifest never touched
+    val b9 = pages.where(Checkpoint.bucketCol(col("url"), 16) === 9)
+    // (salt the split hash: bucket-9 membership fixes xxhash64(url) mod 16,
+    // so an unsalted parity test would select all-or-nothing)
+    val halfB9 = Extract.runNarrow(
+        b9.where(pmod(xxhash64(col("url"), lit(42)), lit(2)) === 0).select("url", "html"))
+      .toDF()
+      .withColumn("bucket", Checkpoint.bucketCol(col("url"), 16))
+    graft.io.ParquetIO.overwritePartitions(halfB9, Checkpoint.dataPath(out), "bucket")
+    val orphanRows = spark.read.parquet(Checkpoint.dataPath(out))
+      .where(col("bucket") === 9).count()
+    assert(orphanRows > 0 && orphanRows < b9.count(), "crash artifact present")
+    val manifestRows = spark.read.parquet(Checkpoint.manifestPath(out)).count()
+
+    // resume with the full input: every bucket >= 8 is pending (the orphan
+    // claims nothing), bucket 9 is overwritten whole
+    val s = Checkpoint.run(pages, out, ParquetIO, conf, "resume", numBuckets = 16)
+    assert(s.bucketsPending == s.bucketsTotal - 8, s"orphan must not count: $s")
+    val data = spark.read.parquet(Checkpoint.dataPath(out))
+    assert(data.count() == pages.count(), "no dupes, no gaps")
+    assert(data.where(col("bucket") === 9).count() == b9.count())
+    assert(data.select("url").distinct().count() == pages.count())
+    assert(spark.read.parquet(Checkpoint.manifestPath(out)).count() ==
+      manifestRows + s.bucketsPending)
+    pages.unpersist()
+  }
+
   test("manifest carries lineage columns") {
     val out = freshDir()
     val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001")
