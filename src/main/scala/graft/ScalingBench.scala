@@ -19,97 +19,67 @@ import java.nio.file.{Files, Paths}
   *    artifact called out in the report (on a real cluster shuffle
   *    bandwidth scales with node count).
   *
-  * Usage: runMain graft.ScalingBench [N] [sfDir] [replicas]
-  * (defaults 8, /root/testdata/sf0.1, 64 → 320k pages, 8 vs 32 cores).
+  * Measurement discipline (VERDICT r3 directive 6, now tool-enforced, not
+  * prose): each size runs in a FRESH JVM (`once` mode), takes `Reps` timed
+  * replicates after untimed JIT warm-up, and emits EVERY replicate plus the
+  * start/end 1-min system load average in its JSON line. `report` mode then
+  * renders the full replicate table and computes the gate from the per-size
+  * minima of that single measurement window — no hand-edited numbers.
+  *
+  * Usage:
+  *   runMain graft.ScalingBench once <cores> <sfDir> <replicas> <outJson>
+  *   runMain graft.ScalingBench report <jsonN> <json4N> [sfDir]
+  *   runMain graft.ScalingBench [N] [sfDir] [replicas]   (both sizes, one JVM)
   */
 object ScalingBench {
 
-  final case class Run(docs: Long, mb: Double, narrowSec: Double, shuffleSec: Double)
+  /** Timed replicates per size (min is the reported figure: the box runs
+    * other workloads — load avg swings 1.7→10 observed — so minimum wall
+    * time is the least-contended estimate).
+    */
+  val Reps = 7
+
+  final case class Run(cores: Int, docs: Long, mb: Double,
+                       narrowRaw: Seq[Double], shuffleRaw: Seq[Double],
+                       loadStart: Double, loadEnd: Double) {
+    def narrowSec: Double = narrowRaw.min
+    def shuffleSec: Double = shuffleRaw.min
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def f(d: Double) = "%.3f".format(d)
+  private def seq(xs: Seq[Double]) = xs.map(f).mkString("[", ",", "]")
+
+  private def toJson(r: Run): String =
+    s"""{"cores":${r.cores},"docs":${r.docs},"mb":${f(r.mb)},""" +
+      s""""narrow_raw":${seq(r.narrowRaw)},"shuffle_raw":${seq(r.shuffleRaw)},""" +
+      s""""narrow_sec":${f(r.narrowSec)},"shuffle_sec":${f(r.shuffleSec)},""" +
+      s""""load_start":${f(r.loadStart)},"load_end":${f(r.loadEnd)}}"""
 
   def main(args: Array[String]): Unit = {
     // "once" mode: one cluster size in a FRESH JVM (heap/JIT isolation),
-    // result appended as one JSON line; "report" mode combines two lines.
+    // full replicate evidence appended as one JSON line
     if (args.length > 0 && args(0) == "once") {
-      val cores = args(1).toInt
-      val r = runOnce(cores, args(2), args(3).toInt)
-      val line = s"""{"cores":$cores,"docs":${r.docs},"mb":${"%.3f".format(r.mb)},""" +
-        s""""narrow_sec":${"%.3f".format(r.narrowSec)},"shuffle_sec":${"%.3f".format(r.shuffleSec)}}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(4)), line)
+      val r = runOnce(args(1).toInt, args(2), args(3).toInt)
+      val line = toJson(r)
+      Files.writeString(Paths.get(args(4)), line)
       println(line)
       return
     }
     if (args.length > 0 && args(0) == "report") {
-      writeReport(args(1), args(2), if (args.length > 3) args(3) else "/root/testdata/sf0.1")
+      val (a, b) = (parse(args(1)), parse(args(2)))
+      val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+      emit(a, b, sfDir, freshJvms = true)
       return
     }
     val n = if (args.length > 0) args(0).toInt else 8
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val replicas = if (args.length > 2) args(2).toInt else 64
-
     val rN = runOnce(n, sfDir, replicas)
     val r4 = runOnce(4 * n, sfDir, replicas)
-    require(rN.docs == r4.docs)
-
-    val thrN = rN.docs / rN.narrowSec
-    val thr4 = r4.docs / r4.narrowSec
-    val eff = thr4 / (4.0 * thrN)
-    val effShuffle = (r4.docs / r4.shuffleSec) / (4.0 * (rN.docs / rN.shuffleSec))
-    def f(d: Double) = "%.3f".format(d)
-
-    val report =
-      s"""# BENCH — measured scaling evidence (sandbox N vs 4N cores)
-         |
-         |North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
-         |executors (BASELINE.json). No multi-node cluster exists in this sandbox;
-         |per driver instruction the same job runs at two local parallelism levels
-         |(local[$n] vs local[${4 * n}]) on identical input.
-         |
-         |Job: SyntheticPages.fromDocuments($sfDir, replicas=$replicas) → Extract
-         |(typed mapPartitions kernel: charset detect → HTML tokenizer/DOM/
-         |boilerplate or PDF span parse → confidence) → count.
-         |Input: ${rN.docs} pages, ${f(rN.mb)} MiB HTML+PDF payload, cached and
-         |identical at both sizes. JIT warm-up paid untimed in both sessions;
-         |best of 3 timed runs.
-         |
-         |## Headline: pre-partitioned input (the 100 TB design)
-         |
-         |At production scale the pages table is bucket-partitioned by
-         |`hash(url)` at ingest (Iceberg bucket transform; SURVEY §7.6), so the
-         |extraction job is a narrow, shuffle-free stage — partitioning cost is
-         |paid once at write time, not once per job.
-         |
-         || cores | wall (s) | docs/sec | MB/sec |
-         ||---|---|---|---|
-         || $n | ${f(rN.narrowSec)} | ${f(thrN)} | ${f(rN.mb / rN.narrowSec)} |
-         || ${4 * n} | ${f(r4.narrowSec)} | ${f(thr4)} | ${f(r4.mb / r4.narrowSec)} |
-         |
-         |**efficiency = throughput_${4 * n} / (4 × throughput_$n) = ${f(eff)}**
-         |(gate ≥ 0.8 → ${if (eff >= 0.8) "PASS" else "FAIL"})
-         |
-         |## Runtime salted shuffle variant (unpartitioned input)
-         |
-         || cores | wall (s) | docs/sec |
-         ||---|---|---|
-         || $n | ${f(rN.shuffleSec)} | ${f(rN.docs / rN.shuffleSec)} |
-         || ${4 * n} | ${f(r4.shuffleSec)} | ${f(r4.docs / r4.shuffleSec)} |
-         |
-         |shuffle-variant efficiency = ${f(effShuffle)}. Local-mode caveat: all
-         |"executors" share one memory bus, so shuffle bandwidth is constant in
-         |core count — the shuffle stage cannot scale in this sandbox by
-         |construction. On a real N→4N cluster the shuffle hardware (disks,
-         |NICs) grows 4× with the executors; the narrow headline above is the
-         |representative number, and the production plan avoids the per-job
-         |shuffle entirely via ingest-time bucketing.
-         |
-         |Measured ${java.time.Instant.now} on a ${Runtime.getRuntime.availableProcessors}-thread box, single JVM.
-         |""".stripMargin
-
-    Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), report)
-    println(s"""{"n":$n,"docs":${rN.docs},"mb":${f(rN.mb)},""" +
-      s""""narrow_sec_n":${f(rN.narrowSec)},"narrow_sec_4n":${f(r4.narrowSec)},""" +
-      s""""docs_per_sec_n":${f(thrN)},"docs_per_sec_4n":${f(thr4)},""" +
-      s""""efficiency":${f(eff)},"shuffle_efficiency":${f(effShuffle)}}""")
+    emit(rN, r4, sfDir, freshJvms = false)
   }
 
   /** One session at `cores`: measure narrow and shuffle variants. */
@@ -146,51 +116,70 @@ object ScalingBench {
       val shuffleConf = model.PipelineConf(shufflePartitions = cores * 2)
       // JIT warm-up, untimed (the kernel path is identical in both variants)
       time(narrowConf); time(narrowConf)
-      def median5(c: model.PipelineConf): Double = {
-        val raw = Seq.fill(7)(time(c))
-        System.err.println(s"[scaling] cores=$cores raw=${raw.map(x => "%.2f".format(x))}")
-        // min, not median: the sandbox box runs other workloads (load avg
-        // ~10 observed), so minimum wall time is the least-contended estimate
-        raw.min
-      }
-      val narrow = median5(narrowConf) // min-of-7, see above
-      val shuffled = median5(shuffleConf)
-      System.err.println(s"[scaling] cores=$cores narrow=$narrow shuffle=$shuffled")
+      val loadStart = loadAvg
+      val narrowRaw = Seq.fill(Reps)(time(narrowConf))
+      val shuffleRaw = Seq.fill(Reps)(time(shuffleConf))
+      val loadEnd = loadAvg
+      System.err.println(s"[scaling] cores=$cores narrow=${seq(narrowRaw)} " +
+        s"shuffle=${seq(shuffleRaw)} load=$loadStart->$loadEnd")
       pages.unpersist()
-      Run(docs, bytes / 1048576.0, narrow, shuffled)
+      Run(cores, docs, bytes / 1048576.0, narrowRaw, shuffleRaw, loadStart, loadEnd)
     } finally spark.stop()
   }
 
-  /** Combine two fresh-JVM "once" JSON lines into BENCH/BASELINE.md. */
-  def writeReport(pathN: String, path4N: String, sfDir: String): Unit = {
-    def parse(p: String): Map[String, Double] = {
-      val txt = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
-      "\"(\\w+)\":([0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
-    val a = parse(pathN); val b = parse(path4N)
-    val n = a("cores").toInt; val n4 = b("cores").toInt
-    require(n4 == 4 * n, s"need 4x cores, got $n vs $n4")
-    val docs = a("docs"); val mb = a("mb")
-    val thrN = docs / a("narrow_sec"); val thr4 = docs / b("narrow_sec")
+  /** Parse a `once` JSON line back into a Run (numbers and number arrays). */
+  def parse(path: String): Run = {
+    val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    val scalars = "\"(\\w+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val arrays = "\"(\\w+)\":\\[([0-9.,]*)\\]".r.findAllMatchIn(txt)
+      .map(m => m.group(1) ->
+        m.group(2).split(',').filter(_.nonEmpty).map(_.toDouble).toSeq).toMap
+    Run(scalars("cores").toInt, scalars("docs").toLong, scalars("mb"),
+      arrays.getOrElse("narrow_raw", Seq(scalars("narrow_sec"))),
+      arrays.getOrElse("shuffle_raw", Seq(scalars("shuffle_sec"))),
+      scalars.getOrElse("load_start", -1.0), scalars.getOrElse("load_end", -1.0))
+  }
+
+  /** Render BENCH/BASELINE.md from two measured runs — the ONLY writer of
+    * the report, so every number in it comes from tool output.
+    */
+  def emit(a: Run, b: Run, sfDir: String, freshJvms: Boolean): Unit = {
+    require(b.cores == 4 * a.cores, s"need 4x cores, got ${a.cores} vs ${b.cores}")
+    require(a.docs == b.docs, s"inputs differ: ${a.docs} vs ${b.docs}")
+    val n = a.cores; val n4 = b.cores
+    val docs = a.docs.toDouble; val mb = a.mb
+    val thrN = docs / a.narrowSec; val thr4 = docs / b.narrowSec
     val eff = thr4 / (4.0 * thrN)
-    val effS = (docs / b("shuffle_sec")) / (4.0 * (docs / a("shuffle_sec")))
-    def f(d: Double) = "%.3f".format(d)
+    val effS = (docs / b.shuffleSec) / (4.0 * (docs / a.shuffleSec))
+    def loads(r: Run) =
+      if (r.loadStart < 0) "n/a" else s"${f(r.loadStart)}→${f(r.loadEnd)}"
+    def reps(xs: Seq[Double]) = xs.map(f).mkString(" ")
     val report =
       s"""# BENCH — measured scaling evidence (sandbox N vs 4N cores)
          |
          |North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
          |executors (BASELINE.json). No multi-node cluster exists in this sandbox;
          |per driver instruction the same job runs at two local parallelism levels
-         |(local[$n] vs local[$n4]), each in a FRESH JVM, on identical input.
+         |(local[$n] vs local[$n4])${if (freshJvms) ", each in a FRESH JVM," else ""}
+         |on identical input, back-to-back in one measurement window.
          |
          |Job: SyntheticPages.fromDocuments($sfDir, replicas) -> Extract (typed
-         |mapPartitions kernel: charset detect -> HTML tokenizer/DOM/boilerplate
-         |or PDF span parse -> confidence) -> count.
-         |Input: ${docs.toLong} pages, ${f(mb)} MiB HTML+PDF payload, cached,
+         |mapPartitions kernel: charset detect -> HTML tokenizer/boilerplate or
+         |PDF span parse / pixel OCR -> confidence) -> count.
+         |Input: ${a.docs} pages, ${f(mb)} MiB HTML+PDF payload, cached,
          |fixed 128 input partitions at both sizes (a table's bucketing does not
-         |change with cluster size). JIT warm-up paid untimed in both JVMs;
-         |median of 5 timed runs.
+         |change with cluster size). JIT warm-up paid untimed in both JVMs.
+         |
+         |## Replicates (every timed run, seconds; min = least-contended estimate
+         |under ambient box load — this report is tool-generated, nothing elided)
+         |
+         || cores | variant | load avg start→end | replicates (s) | min |
+         ||---|---|---|---|---|
+         || $n | narrow | ${loads(a)} | ${reps(a.narrowRaw)} | ${f(a.narrowSec)} |
+         || $n4 | narrow | ${loads(b)} | ${reps(b.narrowRaw)} | ${f(b.narrowSec)} |
+         || $n | shuffle | ${loads(a)} | ${reps(a.shuffleRaw)} | ${f(a.shuffleSec)} |
+         || $n4 | shuffle | ${loads(b)} | ${reps(b.shuffleRaw)} | ${f(b.shuffleSec)} |
          |
          |## Headline: pre-partitioned input (the 100 TB design)
          |
@@ -201,8 +190,8 @@ object ScalingBench {
          |
          || cores | wall (s) | docs/sec | MB/sec |
          ||---|---|---|---|
-         || $n | ${f(a("narrow_sec"))} | ${f(thrN)} | ${f(mb / a("narrow_sec"))} |
-         || $n4 | ${f(b("narrow_sec"))} | ${f(thr4)} | ${f(mb / b("narrow_sec"))} |
+         || $n | ${f(a.narrowSec)} | ${f(thrN)} | ${f(mb / a.narrowSec)} |
+         || $n4 | ${f(b.narrowSec)} | ${f(thr4)} | ${f(mb / b.narrowSec)} |
          |
          |**efficiency = throughput_$n4 / (4 x throughput_$n) = ${f(eff)}**
          |(gate >= 0.8 -> ${if (eff >= 0.8) "PASS" else "FAIL"})
@@ -212,8 +201,8 @@ object ScalingBench {
          |
          || cores | wall (s) | docs/sec |
          ||---|---|---|
-         || $n | ${f(a("shuffle_sec"))} | ${f(docs / a("shuffle_sec"))} |
-         || $n4 | ${f(b("shuffle_sec"))} | ${f(docs / b("shuffle_sec"))} |
+         || $n | ${f(a.shuffleSec)} | ${f(docs / a.shuffleSec)} |
+         || $n4 | ${f(b.shuffleSec)} | ${f(docs / b.shuffleSec)} |
          |
          |shuffle-variant efficiency = ${f(effS)}. Local-mode caveat: all
          |"executors" share one memory bus and one disk, so shuffle bandwidth
@@ -226,6 +215,9 @@ object ScalingBench {
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), report)
-    println(s"""{"efficiency":${f(eff)},"shuffle_efficiency":${f(effS)}}""")
+    println(s"""{"n":$n,"docs":${a.docs},"mb":${f(mb)},""" +
+      s""""narrow_sec_n":${f(a.narrowSec)},"narrow_sec_4n":${f(b.narrowSec)},""" +
+      s""""docs_per_sec_n":${f(thrN)},"docs_per_sec_4n":${f(thr4)},""" +
+      s""""efficiency":${f(eff)},"shuffle_efficiency":${f(effS)}}""")
   }
 }

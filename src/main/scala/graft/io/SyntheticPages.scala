@@ -79,13 +79,16 @@ object SyntheticPages {
         (variant % graft.ocr.GlyphOcr.SkewCandidates.length).toInt)
       val bmp = graft.ocr.GlyphRender.render(lines, skew,
         noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt)
-      val rgb = variant % 2 == 1
-      // every third scanned doc embeds its raster as DCTDecode (JPEG) — the
-      // dominant real-world scanned filter; gray and RGB JPEG both occur
-      val dct = variant % 3 == 2
+      // raster encodings rotate through the real-world scanned-PDF filter
+      // mix: Flate (gray + RGB), DCTDecode/JPEG (gray + RGB) and
+      // CCITTFaxDecode G4 (bilevel) — all load-bearing in the golden gate
+      val enc = variant % 5
+      val dct = enc == 2 || enc == 4
+      val ccitt = enc == 3
+      val rgb = !ccitt && (if (dct) enc == 4 else variant % 2 == 1)
       val samples = if (rgb) graft.ocr.GlyphRender.toRgb(bmp) else bmp.gray
       Spec(urlOf(docId), Epoch + docId * 1000L,
-        MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb, dct = dct),
+        MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb, dct = dct, ccitt = ccitt),
         lines.mkString("\n"), lang)
     } else if (isBrokenDoc(docId)) {
       val junk = new java.lang.StringBuilder("%PDF-1.7\n")

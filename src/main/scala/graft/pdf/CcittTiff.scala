@@ -1,0 +1,141 @@
+package graft.pdf
+
+import java.awt.image.{BufferedImage, DataBufferByte}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier, ImageWriteParam}
+
+/** CCITT Group 4 (ITU-T T.6) raster codec for `/CCITTFaxDecode` image
+  * XObjects — with DCTDecode the other filter real scanned PDFs embed
+  * (bilevel fax-class scans; the reference hands these to pdf2image,
+  * `ocr_adapters.py:62`).
+  *
+  * Strategy: no hand-transcribed T.4 run-length tables. A G4 stream is
+  * wrapped in a minimal single-strip TIFF container in memory and decoded
+  * by the JDK's own TIFF ImageIO plugin (present since Java 9, CCITT
+  * RLE/T.4/T.6 codecs included) — the MH/MR/MMR tables come from the JDK,
+  * so interop matches a production decoder rather than a self-consistent
+  * reimplementation. Encoding (fixtures) runs the same plugin in reverse
+  * and extracts the strip bytes back out of the container.
+  *
+  * Scope: K < 0 (pure two-dimensional G4) — the overwhelming real-world
+  * case for scanned PDFs; G3 variants and EncodedByteAlign degrade to
+  * no-OCR upstream. Total: every failure returns None, never throws.
+  */
+object CcittTiff {
+
+  /** Minimal little-endian single-strip TIFF wrapping a raw G4 stream. */
+  def wrapTiff(g4: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(g4.length + 128)
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val nTags = 9
+    val stripOff = 8 + 2 + nTags * 12 + 4
+    bos.write('I'); bos.write('I'); le16(42); le32(8)
+    le16(nTags)
+    // ids ascending; SHORT(3) packs left-justified in the LE value field,
+    // so le32 writes both SHORT and LONG(4) values correctly
+    def tag(id: Int, typ: Int, value: Int): Unit = { le16(id); le16(typ); le32(1); le32(value) }
+    tag(256, 4, w)            // ImageWidth
+    tag(257, 4, h)            // ImageLength
+    tag(258, 3, 1)            // BitsPerSample
+    tag(259, 3, 4)            // Compression = CCITT T.6
+    tag(262, 3, 0)            // Photometric = WhiteIsZero (the CCITT norm)
+    tag(273, 4, stripOff)     // StripOffsets
+    tag(277, 3, 1)            // SamplesPerPixel
+    tag(278, 4, h)            // RowsPerStrip (single strip)
+    tag(279, 4, g4.length)    // StripByteCounts
+    le32(0)                   // no next IFD
+    bos.write(g4, 0, g4.length)
+    bos.toByteArray
+  }
+
+  /** G4 stream → 8-bit luminance (white 0xFF / black 0x00), or None on any
+    * decode failure or dimension mismatch. The codec works in white/black
+    * RUNS, so the result is true luminance independent of the PDF
+    * `/BlackIs1` packed-bit convention (callers invert for BlackIs1=true).
+    */
+  def decodeG4Gray(g4: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(wrapTiff(g4, w, h)))
+      if (img == null || img.getWidth != w || img.getHeight != h) return None
+      val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val g = gray.createGraphics()
+      g.drawImage(img, 0, 0, null)
+      g.dispose()
+      Some(gray.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fixture encoder: 8-bit luminance → raw G4 stream (threshold 128),
+    * via the JDK TIFF writer pinned to one strip (RowsPerStrip = h — G4
+    * strips code independently, so a multi-strip image would NOT
+    * concatenate into one valid PDF stream).
+    */
+  def encodeG4(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val bin = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val white = (gray(y * w + x) & 0xFF) >= 128
+        bin.setRGB(x, y, if (white) 0xFFFFFF else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("CCITT T.6")
+    import javax.imageio.plugins.tiff._
+    val meta = writer.getDefaultImageMetadata(
+      ImageTypeSpecifier.createFromRenderedImage(bin), p)
+    val dir = TIFFDirectory.createFromMetadata(meta)
+    val base = BaselineTIFFTagSet.getInstance
+    dir.addTIFFField(new TIFFField(
+      base.getTag(BaselineTIFFTagSet.TAG_ROWS_PER_STRIP),
+      TIFFTag.TIFF_LONG, 1, Array[Long](h.toLong)))
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(bin, null, dir.getAsMetadata), p)
+    writer.dispose()
+    ios.close()
+    extractSingleStrip(bos.toByteArray)
+  }
+
+  /** Pull the (single) strip back out of a TIFF we just wrote. Reads only
+    * our own writer's output; supports both byte orders and SHORT/LONG
+    * offset fields. Throws on a multi-strip layout — that is a fixture
+    * bug, not an input condition.
+    */
+  private def extractSingleStrip(tiff: Array[Byte]): Array[Byte] = {
+    val le = tiff(0) == 'I'
+    def u16(o: Int): Int =
+      if (le) (tiff(o) & 0xFF) | ((tiff(o + 1) & 0xFF) << 8)
+      else ((tiff(o) & 0xFF) << 8) | (tiff(o + 1) & 0xFF)
+    def u32(o: Int): Int =
+      if (le) u16(o) | (u16(o + 2) << 16) else (u16(o) << 16) | u16(o + 2)
+    val ifd = u32(4)
+    val n = u16(ifd)
+    var off = -1L
+    var len = -1L
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      val id = u16(e)
+      val typ = u16(e + 4 - 2) // type at e+2
+      val t = u16(e + 2)
+      val count = u32(e + 4)
+      require(id != 273 && id != 279 || count == 1,
+        s"multi-strip TIFF (tag $id count $count)")
+      val value = if (t == 3) u16(e + 8) else u32(e + 8)
+      if (id == 273) off = value.toLong
+      if (id == 279) len = value.toLong
+      i += 1
+      val _ = typ
+    }
+    require(off >= 0 && len >= 0, "strip tags missing")
+    java.util.Arrays.copyOfRange(tiff, off.toInt, (off + len).toInt)
+  }
+}

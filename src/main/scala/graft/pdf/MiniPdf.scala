@@ -298,7 +298,9 @@ object MiniPdf {
     * 4 content, 5 image.
     */
   def buildScanned(samples: Array[Byte], w: Int, h: Int, rgb: Boolean = false,
-                   padTo: Int = 1024, dct: Boolean = false): Array[Byte] = {
+                   padTo: Int = 1024, dct: Boolean = false,
+                   ccitt: Boolean = false): Array[Byte] = {
+    require(!(dct && ccitt) && !(ccitt && rgb), "ccitt is bilevel gray only")
     val out = new ByteArrayOutputStream()
     def wr(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     wr("%PDF-1.7\n")
@@ -308,11 +310,17 @@ object MiniPdf {
       "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
     val content = s"q $w 0 0 $h 72 ${720 - h} cm /Im0 Do Q"
     wr(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
-    val packed = if (dct) encodeJpeg(samples, w, h, rgb) else deflate(samples)
+    val packed =
+      if (dct) encodeJpeg(samples, w, h, rgb)
+      else if (ccitt) CcittTiff.encodeG4(samples, w, h)
+      else deflate(samples)
     val cs = if (rgb) "/DeviceRGB" else "/DeviceGray"
-    val filter = if (dct) "/DCTDecode" else "/FlateDecode"
+    val filter = if (dct) "/DCTDecode"
+      else if (ccitt) "/CCITTFaxDecode" else "/FlateDecode"
+    val bpc = if (ccitt) 1 else 8
+    val parms = if (ccitt) s"/DecodeParms << /K -1 /Columns $w /Rows $h >> " else ""
     wr(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
-      s"/ColorSpace $cs /BitsPerComponent 8 /Filter $filter " +
+      s"/ColorSpace $cs /BitsPerComponent $bpc /Filter $filter $parms" +
       s"/Length ${packed.length} >>\nstream\n")
     out.write(packed)
     wr("\nendstream\nendobj\n")

@@ -239,21 +239,26 @@ object PdfExtractor {
       val h = objs.num(d.getOrElse("Height", PNull)).map(_.toInt).getOrElse(0)
       val bits = objs.num(d.getOrElse("BitsPerComponent", PNull)).map(_.toInt).getOrElse(0)
       val cs = objs.name(d.getOrElse("ColorSpace", PNull)).getOrElse("")
-      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) || bits != 8) None
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) || (bits != 8 && bits != 1)) None
       else {
-        // DCTDecode (the overwhelming real-world scanned-raster filter,
-        // cf. reference ocr_adapters.py:62 feeding pdf2image): the payload
-        // IS a JPEG — decode via the in-JDK reader straight to luminance.
-        // Only the sole-filter form is handled (JPEG inside a second
-        // compression layer does not occur in practice).
+        // the two real-world scanned-raster filters (cf. reference
+        // ocr_adapters.py:62 feeding pdf2image) get dedicated decodes:
+        // DCTDecode payloads ARE JPEGs (in-JDK reader → luminance), and
+        // CCITTFaxDecode G4 payloads go through the in-JDK TIFF codec
+        // (CcittTiff). Only the sole-filter forms are handled (a fax/JPEG
+        // inside a second compression layer does not occur in practice).
+        val filters = filterNames(s, objs)
         val gray: Option[Array[Byte]] =
-          if (filterNames(s, objs) == Vector("DCTDecode"))
+          if (filters == Vector("DCTDecode"))
             jpegGray(rawData(s, objs), w, h)
+          else if (filters == Vector("CCITTFaxDecode"))
+            ccittGray(s, objs, w, h)
           else decodeStream(s, objs).toOption.flatMap { raw =>
-            if (cs == "DeviceGray" && raw.length >= w * h) Some(raw)
-            else if (cs == "DeviceRGB" && raw.length >= 3 * w * h)
+            if (bits == 1 && cs == "DeviceGray") unpack1Bit(raw, w, h)
+            else if (bits == 8 && cs == "DeviceGray" && raw.length >= w * h) Some(raw)
+            else if (bits == 8 && cs == "DeviceRGB" && raw.length >= 3 * w * h)
               Some(graft.ocr.GlyphOcr.rgbToGray(raw, w, h))
-            else None // 1-bit/CMYK/ICC images: no OCR, page stays empty
+            else None // 2/4-bit/CMYK/ICC images: no OCR, page stays empty
           }
         gray.map(g => graft.ocr.GlyphOcr.recognize(g, w, h))
       }
@@ -261,6 +266,50 @@ object PdfExtractor {
     if (results.isEmpty) None
     else Some(results.reduce((a, b) => graft.ocr.GlyphOcr.OcrResult(
       a.text + "\n" + b.text, a.glyphs + b.glyphs, a.matched + b.matched, a.skew)))
+  }
+
+  /** CCITTFaxDecode image → luminance via [[CcittTiff]]. Scope: K < 0
+    * (Group 4), default EncodedByteAlign, Columns matching the dict width —
+    * the overwhelming real-world shape; anything else degrades to no-OCR.
+    * BlackIs1 only flips the packed-bit convention, which the run-based
+    * codec never sees — honoring it means inverting the luminance.
+    */
+  private def ccittGray(s: PStream, objs: Objects, w: Int, h: Int): Option[Array[Byte]] = {
+    val parms = objs.dict(s.dict.m.getOrElse("DecodeParms",
+      s.dict.m.getOrElse("DP", PNull)))
+    def num(key: String, dflt: Double): Double =
+      parms.flatMap(d => objs.num(d.m.getOrElse(key, PNull))).getOrElse(dflt)
+    def bool(key: String): Boolean =
+      parms.exists(_.m.get(key).contains(PBool(true)))
+    if (num("K", 0) >= 0 || num("Columns", 1728).toInt != w ||
+        bool("EncodedByteAlign")) return None
+    CcittTiff.decodeG4Gray(rawData(s, objs), w, h).map { g =>
+      if (bool("BlackIs1")) {
+        var i = 0
+        while (i < g.length) { g(i) = (~g(i)).toByte; i += 1 }
+      }
+      g
+    }
+  }
+
+  /** Packed 1-bit DeviceGray rows (MSB-first, byte-aligned per row) →
+    * 8-bit luminance: bit 1 = white (DeviceGray max), 0 = black.
+    */
+  private def unpack1Bit(packed: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val stride = (w + 7) / 8
+    if (packed.length < stride.toLong * h) return None
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bit = (packed(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
+        out(y * w + x) = if (bit == 1) 0xFF.toByte else 0x00.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
   }
 
   /** JPEG bytes → 8-bit luminance samples (None on decode failure or a

@@ -164,16 +164,59 @@ class OcrSpec extends AnyFunSuite {
   }
 
   test("image-only PDF without decodable samples keeps the old empty degrade") {
-    // 1-bit image: documented no-OCR case — empty text, scanned class
+    // 4-bit image: documented no-OCR case — empty text, scanned class
     val pdf = graft.pdf.MiniPdf.buildScanned(Array.fill[Byte](8)(0x55), 8, 8)
-    // declare 1 bit per component by patching the dict bytes
+    // declare 4 bits per component by patching the dict bytes
     val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
-      .replace("/BitsPerComponent 8", "/BitsPerComponent 1")
+      .replace("/BitsPerComponent 8", "/BitsPerComponent 4")
     val doc = graft.pdf.PdfExtractor.extract(
       s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).toOption.get
     assert(doc.docType == "scanned")
     assert(doc.text == "")
     assert(doc.confidence == 0.0)
+  }
+
+  test("CCITT G4 codec round-trips bilevel pages exactly") {
+    val lines = Vector("Fax class scan 77", "with a second line")
+    Seq(0.0, 0.025, -0.04375).foreach { s =>
+      val bmp = GlyphRender.render(lines, skew0 = s, noiseSeed = 21L, noisePerGap = 2)
+      val g4 = graft.pdf.CcittTiff.encodeG4(bmp.gray, bmp.w, bmp.h)
+      assert(g4.length < bmp.gray.length / 4, "G4 should compress bilevel text hard")
+      val back = graft.pdf.CcittTiff.decodeG4Gray(g4, bmp.w, bmp.h).get
+      assert(back.sameElements(bmp.gray), s"skew $s: lossless round-trip")
+    }
+    // garbage stream: total, None
+    assert(graft.pdf.CcittTiff.decodeG4Gray(Array.fill[Byte](64)(0x3A), 40, 40).isEmpty)
+  }
+
+  test("CCITTFaxDecode scanned PDF end-to-end: G4 raster → OCR text") {
+    val lines = Vector("Group 4 fax, 1987!", "bilevel but exact")
+    val bmp = GlyphRender.render(lines, skew0 = 0.0125, noiseSeed = 9L, noisePerGap = 3)
+    val pdf = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true)
+    val str = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(str.contains("/CCITTFaxDecode") && str.contains("/BitsPerComponent 1"))
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.docType == "scanned")
+    assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
+    assert(doc.confidence == 100.0)
+  }
+
+  test("1-bit Flate DeviceGray image unpacks and OCRs") {
+    val lines = Vector("One bit per pixel")
+    val bmp = GlyphRender.render(lines)
+    // pack to 1 bit/px, MSB first, byte-aligned rows (1 = white)
+    val stride = (bmp.w + 7) / 8
+    val packed = new Array[Byte](stride * bmp.h)
+    for (y <- 0 until bmp.h; x <- 0 until bmp.w)
+      if ((bmp.gray(y * bmp.w + x) & 0xFF) >= 128)
+        packed(y * stride + (x >> 3)) =
+          (packed(y * stride + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+    val pdf8 = graft.pdf.MiniPdf.buildScanned(packed, bmp.w, bmp.h)
+    val pdf = new String(pdf8, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/BitsPerComponent 8", "/BitsPerComponent 1")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
   }
 
   test("synthetic scanned corpus pages OCR back to their golden byte-exactly") {
