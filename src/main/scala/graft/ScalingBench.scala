@@ -69,9 +69,14 @@ object ScalingBench {
       return
     }
     if (args.length > 0 && args(0) == "report") {
-      val (a, b) = (parse(args(1)), parse(args(2)))
-      val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
-      emit(a, b, sfDir, freshJvms = true)
+      // report <jsonN> <json4N> [<jsonN2> <json4N2> ...] [sfDir]
+      val rest = args.drop(1)
+      val (files, sfDir) =
+        if (rest.length % 2 == 1) (rest.dropRight(1), rest.last)
+        else (rest, "/root/testdata/sf0.1")
+      val runs = files.map(parse)
+      emit(runs.grouped(2).map { case Array(a, b) => (a, b) }.toSeq,
+        sfDir, freshJvms = true)
       return
     }
     val n = if (args.length > 0) args(0).toInt else 8
@@ -79,7 +84,7 @@ object ScalingBench {
     val replicas = if (args.length > 2) args(2).toInt else 64
     val rN = runOnce(n, sfDir, replicas)
     val r4 = runOnce(4 * n, sfDir, replicas)
-    emit(rN, r4, sfDir, freshJvms = false)
+    emit(Seq((rN, r4)), sfDir, freshJvms = false)
   }
 
   /** One session at `cores`: measure narrow and shuffle variants. */
@@ -141,45 +146,65 @@ object ScalingBench {
       scalars.getOrElse("load_start", -1.0), scalars.getOrElse("load_end", -1.0))
   }
 
-  /** Render BENCH/BASELINE.md from two measured runs — the ONLY writer of
-    * the report, so every number in it comes from tool output.
+  /** Render BENCH/BASELINE.md from the measured (N, 4N) pairs — the ONLY
+    * writer of the report, so every number in it comes from tool output.
+    * Each pair is one back-to-back measurement window; the gate is computed
+    * within its window only.
     */
-  def emit(a: Run, b: Run, sfDir: String, freshJvms: Boolean): Unit = {
-    require(b.cores == 4 * a.cores, s"need 4x cores, got ${a.cores} vs ${b.cores}")
-    require(a.docs == b.docs, s"inputs differ: ${a.docs} vs ${b.docs}")
-    val n = a.cores; val n4 = b.cores
-    val docs = a.docs.toDouble; val mb = a.mb
-    val thrN = docs / a.narrowSec; val thr4 = docs / b.narrowSec
-    val eff = thr4 / (4.0 * thrN)
-    val effS = (docs / b.shuffleSec) / (4.0 * (docs / a.shuffleSec))
+  def emit(pairs: Seq[(Run, Run)], sfDir: String, freshJvms: Boolean): Unit = {
+    pairs.foreach { case (a, b) =>
+      require(b.cores == 4 * a.cores, s"need 4x cores, got ${a.cores} vs ${b.cores}")
+      require(a.docs == b.docs, s"inputs differ: ${a.docs} vs ${b.docs}")
+    }
+    val h = pairs.head._1
     def loads(r: Run) =
       if (r.loadStart < 0) "n/a" else s"${f(r.loadStart)}→${f(r.loadEnd)}"
     def reps(xs: Seq[Double]) = xs.map(f).mkString(" ")
+    val repRows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(a, b).flatMap(r => Seq(
+        s"| ${i + 1} | ${r.cores} | narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
+        s"| ${i + 1} | ${r.cores} | shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
+    }.mkString("\n")
+    val gates = pairs.map { case (a, b) =>
+      val thrN = a.docs / a.narrowSec; val thr4 = b.docs / b.narrowSec
+      val eff = thr4 / (4.0 * thrN)
+      val effS = (b.docs / b.shuffleSec) / (4.0 * (a.docs / a.shuffleSec))
+      (a, b, thrN, thr4, eff, effS)
+    }
+    val headline = gates.map { case (a, b, thrN, thr4, eff, _) =>
+      s"""| ${a.cores} | ${f(a.narrowSec)} | ${f(thrN)} | ${f(a.mb / a.narrowSec)} |
+         || ${b.cores} | ${f(b.narrowSec)} | ${f(thr4)} | ${f(b.mb / b.narrowSec)} |
+         ||  | **efficiency ${b.cores}/(4x${a.cores}) = ${f(eff)}** | gate >= 0.8 -> ${if (eff >= 0.8) "PASS" else "FAIL"} | |""".stripMargin
+    }.mkString("\n")
+    val shuffleRows = gates.map { case (a, b, _, _, _, effS) =>
+      s"""| ${a.cores} | ${f(a.shuffleSec)} | ${f(a.docs / a.shuffleSec)} |
+         || ${b.cores} | ${f(b.shuffleSec)} | ${f(b.docs / b.shuffleSec)} |
+         ||  | shuffle efficiency = ${f(effS)} | |""".stripMargin
+    }.mkString("\n")
+    val anyOver = gates.exists(_._5 > 1.05)
     val report =
       s"""# BENCH — measured scaling evidence (sandbox N vs 4N cores)
          |
          |North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
          |executors (BASELINE.json). No multi-node cluster exists in this sandbox;
-         |per driver instruction the same job runs at two local parallelism levels
-         |(local[$n] vs local[$n4])${if (freshJvms) ", each in a FRESH JVM," else ""}
-         |on identical input, back-to-back in one measurement window.
+         |per driver instruction the same job runs at two local parallelism
+         |levels${if (freshJvms) ", each size in a FRESH JVM," else ""} on identical
+         |input. Each (N, 4N) pair below is one back-to-back measurement window;
+         |its gate is computed within that window only.
          |
          |Job: SyntheticPages.fromDocuments($sfDir, replicas) -> Extract (typed
          |mapPartitions kernel: charset detect -> HTML tokenizer/boilerplate or
          |PDF span parse / pixel OCR -> confidence) -> count.
-         |Input: ${a.docs} pages, ${f(mb)} MiB HTML+PDF payload, cached,
-         |fixed 128 input partitions at both sizes (a table's bucketing does not
-         |change with cluster size). JIT warm-up paid untimed in both JVMs.
+         |Input: ${h.docs} pages, ${f(h.mb)} MiB HTML+PDF payload, cached,
+         |fixed 128 input partitions at every size (a table's bucketing does not
+         |change with cluster size). JIT warm-up paid untimed in every JVM.
          |
          |## Replicates (every timed run, seconds; min = least-contended estimate
          |under ambient box load — this report is tool-generated, nothing elided)
          |
-         || cores | variant | load avg start→end | replicates (s) | min |
-         ||---|---|---|---|---|
-         || $n | narrow | ${loads(a)} | ${reps(a.narrowRaw)} | ${f(a.narrowSec)} |
-         || $n4 | narrow | ${loads(b)} | ${reps(b.narrowRaw)} | ${f(b.narrowSec)} |
-         || $n | shuffle | ${loads(a)} | ${reps(a.shuffleRaw)} | ${f(a.shuffleSec)} |
-         || $n4 | shuffle | ${loads(b)} | ${reps(b.shuffleRaw)} | ${f(b.shuffleSec)} |
+         || window | cores | variant | load avg start→end | replicates (s) | min |
+         ||---|---|---|---|---|---|
+         |$repRows
          |
          |## Headline: pre-partitioned input (the 100 TB design)
          |
@@ -190,34 +215,32 @@ object ScalingBench {
          |
          || cores | wall (s) | docs/sec | MB/sec |
          ||---|---|---|---|
-         || $n | ${f(a.narrowSec)} | ${f(thrN)} | ${f(mb / a.narrowSec)} |
-         || $n4 | ${f(b.narrowSec)} | ${f(thr4)} | ${f(mb / b.narrowSec)} |
-         |
-         |**efficiency = throughput_$n4 / (4 x throughput_$n) = ${f(eff)}**
-         |(gate >= 0.8 -> ${if (eff >= 0.8) "PASS" else "FAIL"})
-         |${if (eff > 1.05) "Note: >1.0 reflects local-mode measurement noise (GC/JIT variance across JVMs); the honest claim is \"no sublinear penalty observed\"." else ""}
+         |$headline
+         |${if (anyOver) "Note: >1.0 efficiency reflects local-mode measurement noise (GC/JIT variance across JVMs); the honest claim is \"no sublinear penalty observed\"." else ""}
+         |Load-average caveat: the box carries ambient load from other
+         |workloads (visible in the replicate table); at the larger sizes the
+         |1-min load also counts the run's own threads. Min-of-$Reps per cell
+         |is the contention control.
          |
          |## Runtime salted shuffle variant (unpartitioned input)
          |
          || cores | wall (s) | docs/sec |
          ||---|---|---|
-         || $n | ${f(a.shuffleSec)} | ${f(docs / a.shuffleSec)} |
-         || $n4 | ${f(b.shuffleSec)} | ${f(docs / b.shuffleSec)} |
+         |$shuffleRows
          |
-         |shuffle-variant efficiency = ${f(effS)}. Local-mode caveat: all
-         |"executors" share one memory bus and one disk, so shuffle bandwidth
-         |does not grow with core count in this sandbox; on a real N->4N cluster
-         |the shuffle hardware (disks, NICs) grows 4x with the executors. The
-         |production plan avoids the per-job shuffle entirely via ingest-time
-         |bucketing (headline above).
+         |Local-mode caveat: all "executors" share one memory bus and one disk,
+         |so shuffle bandwidth does not grow with core count in this sandbox; on
+         |a real N->4N cluster the shuffle hardware (disks, NICs) grows 4x with
+         |the executors. The production plan avoids the per-job shuffle entirely
+         |via ingest-time bucketing (headline above).
          |
          |Hardware: ${Runtime.getRuntime.availableProcessors}-thread box.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), report)
-    println(s"""{"n":$n,"docs":${a.docs},"mb":${f(mb)},""" +
-      s""""narrow_sec_n":${f(a.narrowSec)},"narrow_sec_4n":${f(b.narrowSec)},""" +
-      s""""docs_per_sec_n":${f(thrN)},"docs_per_sec_4n":${f(thr4)},""" +
-      s""""efficiency":${f(eff)},"shuffle_efficiency":${f(effS)}}""")
+    val g = gates.map { case (a, b, _, _, eff, effS) =>
+      s"""{"n":${a.cores},"n4":${b.cores},"efficiency":${f(eff)},"shuffle_efficiency":${f(effS)}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"docs":${h.docs},"mb":${f(h.mb)},"pairs":$g}""")
   }
 }

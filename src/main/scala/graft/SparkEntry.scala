@@ -387,12 +387,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > 1)
     }),
-    // same materialized-shingle-set path as d04-d07 (ONE tokenize pass per
-    // query shape); signatures are consumed once here, so no persist needed
+    // same materialized-shingle-set path as d04-d07 (ONE tokenize pass).
+    // The SIGNATURES are persisted (64 longs/doc — the cheap artifact),
+    // because minhashCandidates reads them three times (banding + both
+    // sides of the verify join): unpersisted, each read would re-tokenize
+    // the corpus. Same clearCache contract as d04-d07 (object scaladoc).
     "d02_minhash_pairs" -> ((s, dir) => {
-      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text")
-      graft.ops.Dedup.minhashCandidates(
-          graft.ops.Dedup.signaturesFromSets(sh), minEstJaccard = 0.5)
+      val sigs = graft.ops.Dedup.signaturesFromSets(
+        graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text")).persist()
+      graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.5)
         .orderBy("id_a", "id_b")
     }),
     "d03_simhash_pairs" -> ((s, dir) => {
@@ -404,8 +407,8 @@ object SparkEntry {
     // the pair verification (previously each pair re-tokenized both sides)
     "d04_ngram_verified_dups" -> ((s, dir) => {
       val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
-      val cand = graft.ops.Dedup.minhashCandidates(
-          graft.ops.Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
+      val sigs = graft.ops.Dedup.signaturesFromSets(sh).persist()
+      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
         .select("id_a", "id_b")
       graft.ops.Dedup.ngramJaccardSets(cand, sh)
         .where(col("jaccard") >= 0.5).orderBy("id_a", "id_b")
@@ -415,8 +418,8 @@ object SparkEntry {
     // same components from exact all-pairs Jaccard + a recursive CTE
     "d05_dup_clusters" -> ((s, dir) => {
       val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
-      val cand = graft.ops.Dedup.minhashCandidates(
-          graft.ops.Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
+      val sigs = graft.ops.Dedup.signaturesFromSets(sh).persist()
+      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
         .select("id_a", "id_b")
       val verified = graft.ops.Dedup.ngramJaccardSets(cand, sh)
         .where(col("jaccard") >= 0.5).select("id_a", "id_b")
@@ -428,10 +431,12 @@ object SparkEntry {
     // cross-set banding only (no new×new / old×old pairs), exact-verified
     "d07_incremental_dups" -> ((s, dir) => {
       val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
+      val sigsNew = graft.ops.Dedup.signaturesFromSets(
+        sh.where(col("id") % 2 === 0)).persist()
+      val sigsOld = graft.ops.Dedup.signaturesFromSets(
+        sh.where(col("id") % 2 === 1)).persist()
       val cand = graft.ops.Dedup.minhashCandidatesAcross(
-          graft.ops.Dedup.signaturesFromSets(sh.where(col("id") % 2 === 0)),
-          graft.ops.Dedup.signaturesFromSets(sh.where(col("id") % 2 === 1)),
-          minEstJaccard = 0.3)
+          sigsNew, sigsOld, minEstJaccard = 0.3)
         .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
       graft.ops.Dedup.ngramJaccardSets(cand, sh)
         .where(col("jaccard") >= 0.5)
@@ -446,8 +451,8 @@ object SparkEntry {
     // sampled in its container too).
     "d06_containment" -> ((s, dir) => {
       val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
-      val cand = graft.ops.Dedup.minhashCandidates(
-          graft.ops.Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
+      val sigs = graft.ops.Dedup.signaturesFromSets(sh).persist()
+      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
         .select("id_a", "id_b")
         .unionAll(graft.ops.Dedup.sampledShingleCandidatesFromSets(sh))
         .distinct()

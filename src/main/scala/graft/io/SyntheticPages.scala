@@ -77,8 +77,13 @@ object SyntheticPages {
       val variant = docId / 50
       val skew = graft.ocr.GlyphOcr.SkewCandidates(
         (variant % graft.ocr.GlyphOcr.SkewCandidates.length).toInt)
-      val bmp = graft.ocr.GlyphRender.render(lines, skew,
-        noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt)
+      // DPI rotation: some scans arrive at 2×/3× the font's native
+      // resolution (reference profiles 150/300/600); the recognizer
+      // auto-detects the scale
+      val dpiScale = (variant % 7) match { case 5 => 2; case 6 => 3; case _ => 1 }
+      val bmp = graft.ocr.GlyphRender.upscale(
+        graft.ocr.GlyphRender.render(lines, skew,
+          noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt), dpiScale)
       // raster encodings rotate through the real-world scanned-PDF filter
       // mix: Flate (gray + RGB), DCTDecode/JPEG (gray + RGB) and
       // CCITTFaxDecode G4 (bilevel) — all load-bearing in the golden gate

@@ -208,6 +208,50 @@ object GlyphOcr {
     if (bestDist <= 1) Some(best) else None
   }
 
+  /** Multi-DPI recognition (the reference's 150/300/600 DPI profiles,
+    * `system_config.py:19-33`): scans arrive at unknown integer multiples
+    * of the font's native resolution. Each candidate scale k downsamples by
+    * taking the top-left sample of every k×k block (exact for
+    * block-replicated rasters; a real scanner's area sampling lands within
+    * the binarization margin) and runs the recognizer; the best match rate
+    * wins, ties to the smallest k (deterministic). Cost ≤ maxScale
+    * recognize passes, paid only on the ~2% scanned slice.
+    */
+  def recognizeAutoScale(gray: Array[Byte], w: Int, h: Int,
+                         maxScale: Int = 3): OcrResult = {
+    // descending k with early exit on a perfect pass: a downsampled try
+    // costs 1/k² of the full-resolution one, so a 3×-DPI page is settled
+    // by its cheapest pass and never pays the 9×-pixel k=1 recognize;
+    // a native-resolution page pays ~(1 + Σ 1/k²) ≈ 1.36× one pass
+    var best: OcrResult = null
+    var k = maxScale
+    while (k >= 1) {
+      val r =
+        if (k == 1) recognize(gray, w, h)
+        else {
+          val wk = w / k
+          val hk = h / k
+          if (wk <= 0 || hk <= 0) OcrResult("", 0, 0, 0.0)
+          else {
+            val ds = new Array[Byte](wk * hk)
+            var y = 0
+            while (y < hk) {
+              var x = 0
+              while (x < wk) { ds(y * wk + x) = gray(y * k * w + x * k); x += 1 }
+              y += 1
+            }
+            recognize(ds, wk, hk)
+          }
+        }
+      if (r.matchRate == 1.0 && r.glyphs > 0) return r
+      if (best == null || r.matchRate > best.matchRate ||
+          (r.matchRate == best.matchRate && r.glyphs > best.glyphs))
+        best = r
+      k -= 1
+    }
+    best
+  }
+
   /** RGB (3 bytes/px, interleaved) → 8-bit luminance (reference E4's
     * grayscale convert, integer 299/587/114 weights).
     */

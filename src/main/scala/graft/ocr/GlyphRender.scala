@@ -24,6 +24,30 @@ object GlyphRender {
     */
   @inline def shift(s: Double, x: Int): Int = math.round(s * x).toInt
 
+  /** Block-replicate a bitmap by an integer factor — the 2×/3×-DPI scan
+    * variant (the reference's 150/300/600 DPI profiles,
+    * `system_config.py:19-33`). Shear and specks are applied at logical
+    * resolution first, so the top-left sample of every k×k block recovers
+    * the logical page exactly (what [[GlyphOcr.recognizeAutoScale]] relies
+    * on).
+    */
+  def upscale(b: Bitmap, k: Int): Bitmap = {
+    if (k <= 1) return b
+    val w2 = b.w * k
+    val h2 = b.h * k
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = b.gray((y / k) * b.w + (x / k))
+        x += 1
+      }
+      y += 1
+    }
+    Bitmap(out, w2, h2)
+  }
+
   def render(lines: Seq[String], skew0: Double = 0.0, noiseSeed: Long = 0L,
              noisePerGap: Int = 0): Bitmap = {
     // snap to the recognizer's candidate grid BIT-EXACTLY (the same Double,

@@ -24,10 +24,12 @@ object Curation {
 
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              dupTau: Double = 0.5, minQuality: Double = 60.0): DataFrame = {
-    // one tokenize pass feeds signatures AND exact verification
+    // one tokenize pass feeds signatures AND exact verification; the
+    // signatures persist too (minhashCandidates reads them three times —
+    // banding + both sides of the verify join)
     val sh = Dedup.shingleSets(docs, idCol, textCol).persist()
-    val cand = Dedup.minhashCandidates(
-        Dedup.signaturesFromSets(sh), minEstJaccard = 0.3)
+    val sigs = Dedup.signaturesFromSets(sh).persist()
+    val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
       .select("id_a", "id_b")
     // verified pairs are emitted with id_a < id_b, so id_b is the loser.
     // localCheckpoint (eager) materializes the pair-cardinality loser set
@@ -37,6 +39,7 @@ object Curation {
       .where(col("jaccard") >= dupTau)
       .select(col("id_b").as("loser_id")).distinct()
       .localCheckpoint()
+    sigs.unpersist()
     sh.unpersist()
 
     docs.select(col(idCol).cast("long").as("doc_id"),

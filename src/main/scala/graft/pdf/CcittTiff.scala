@@ -124,7 +124,6 @@ object CcittTiff {
     while (i < n) {
       val e = ifd + 2 + i * 12
       val id = u16(e)
-      val typ = u16(e + 4 - 2) // type at e+2
       val t = u16(e + 2)
       val count = u32(e + 4)
       require(id != 273 && id != 279 || count == 1,
@@ -133,7 +132,6 @@ object CcittTiff {
       if (id == 273) off = value.toLong
       if (id == 279) len = value.toLong
       i += 1
-      val _ = typ
     }
     require(off >= 0 && len >= 0, "strip tags missing")
     java.util.Arrays.copyOfRange(tiff, off.toInt, (off + len).toInt)

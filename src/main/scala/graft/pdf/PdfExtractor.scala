@@ -260,7 +260,9 @@ object PdfExtractor {
               Some(graft.ocr.GlyphOcr.rgbToGray(raw, w, h))
             else None // 2/4-bit/CMYK/ICC images: no OCR, page stays empty
           }
-        gray.map(g => graft.ocr.GlyphOcr.recognize(g, w, h))
+        // auto-scale: scans arrive at 1-3× the font's native DPI
+        // (reference profiles 150/300/600, system_config.py:19-33)
+        gray.map(g => graft.ocr.GlyphOcr.recognizeAutoScale(g, w, h))
       }
     }.filter(_.glyphs > 0)
     if (results.isEmpty) None

@@ -219,8 +219,29 @@ class OcrSpec extends AnyFunSuite {
     assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
   }
 
+  test("multi-DPI: 2x and 3x rasters auto-detect scale and recognize exactly") {
+    val lines = Vector("Scanned at 300 dpi?", "or maybe 600, who knows")
+    Seq(1, 2, 3).foreach { k =>
+      val bmp = GlyphRender.upscale(
+        GlyphRender.render(lines, skew0 = -0.025, noiseSeed = 13L, noisePerGap = 2), k)
+      val r = GlyphOcr.recognizeAutoScale(bmp.gray, bmp.w, bmp.h)
+      assert(r.text == lines.mkString("\n"), s"scale $k: '${r.text}'")
+      assert(r.matchRate == 1.0, s"scale $k rate ${r.matchRate}")
+    }
+  }
+
+  test("multi-DPI scanned PDF end-to-end (2x JPEG raster)") {
+    val lines = Vector("High dpi jpeg scan")
+    val bmp = GlyphRender.upscale(GlyphRender.render(lines), 2)
+    val pdf = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, dct = true)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
+  }
+
   test("synthetic scanned corpus pages OCR back to their golden byte-exactly") {
-    val ids = Seq(17L, 67L, 117L, 167L, 217L, 267L)
+    // ids cover variants 0-9: every raster encoding (Flate gray/RGB, JPEG
+    // gray/RGB, CCITT G4), DPI scales 1/2/3, all skew/noise rotations
+    val ids = Seq(17L, 67L, 117L, 167L, 217L, 267L, 317L, 367L, 417L, 467L)
     ids.foreach { id =>
       val spec = graft.io.SyntheticPages.pageFor(id,
         "palabras de prueba numero " + id + " con mas contenido util aqui", "es")

@@ -86,6 +86,16 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("d02: signatures cached — one tokenize pass feeds banding AND verify") {
+    // minhashCandidates reads the signature frame three times (banding +
+    // both sides of the verify join); without the persist each read would
+    // re-tokenize and re-minhash the whole corpus
+    val plan = physical("d02_minhash_pairs")
+    assert(plan.contains("InMemoryTableScan"),
+      s"d02 signatures not cached — corpus would tokenize 3x:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("q13: top-k per group is a partial aggregate, not a window") {
     // a row_number window's sort parallelism is bounded by the 25 distinct
     // nations; the bounded Aggregator reduces map-side on every partition
