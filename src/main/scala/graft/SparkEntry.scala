@@ -676,7 +676,18 @@ object SparkEntry {
       |  SELECT id, 'html' AS doc_type, 'processed' AS status, 1 AS pages,
       |    (10 + idlen) + 2 * npar + (wchars + alen) + (nw - npar)
       |      + CASE WHEN npar >= 2 THEN 6 ELSE 0 END AS tlen,
-      |    CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS ntab
+      |    CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS ntab,
+      |    -- E12 for real: 100*keptNonWs/totalNonWs. kept = h1 title + paras
+      |    -- (incl. the 3-char 'A&B' entity fixture when >= 2 paras); the
+      |    -- generator's boilerplate blocks are a 101-non-ws-char constant
+      |    -- (header 11 + nav 24 + related-links 16 + aside 32 + footer 18)
+      |    100.0 * ((9 + idlen) + (wchars + alen) + CASE WHEN npar >= 2 THEN 3 ELSE 0 END)
+      |      / (((9 + idlen) + (wchars + alen) + CASE WHEN npar >= 2 THEN 3 ELSE 0 END) + 101)
+      |      AS conf,
+      |    2 + nw + CASE WHEN npar >= 2 THEN 3 ELSE 0 END AS words,
+      |    CASE WHEN lang = 'zh' THEN 'UTF-8'
+      |         WHEN id % 4 = 2 THEN 'windows-1252'
+      |         WHEN id % 4 = 3 THEN 'ISO-8859-1' ELSE 'UTF-8' END AS charset
       |  FROM (SELECT *, (nw + 11) // 12 AS npar FROM m WHERE route = 'html')),
       |pdfm AS (
       |  SELECT *, npg0 + CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS npg,
@@ -689,19 +700,24 @@ object SparkEntry {
       |    CASE WHEN (tlen - 2 * (pages - 1)) > 100 * pages
       |         THEN 'native_text' ELSE 'mixed' END AS doc_type,
       |    'processed' AS status, pages, tlen,
-      |    CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS ntab
+      |    CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS ntab,
+      |    100.0 AS conf, words, 'pdf' AS charset
       |  FROM (
       |    SELECT id, CASE WHEN t0 THEN 1 ELSE npg END AS pages,
       |      CASE WHEN t0 THEN (wchars + alen) + (nw - nl) + (nl - 1)
       |           ELSE (wchars + alen) + (nw - nl) + (nl - npg0) + 2 * (npg - 1)
       |             + CASE WHEN id % 7 = 3 THEN 13 + idlen ELSE 0 END
-      |      END AS tlen
+      |      END AS tlen,
+      |      nw + CASE WHEN id % 7 = 3 THEN 4 ELSE 0 END AS words
       |    FROM pdfm)),
       |scrows AS (
       |  SELECT id, 'scanned' AS doc_type, 'processed' AS status, 1 AS pages,
       |    CASE WHEN knw = 0 THEN 5 + idlen
       |         ELSE kchars + (knw - nlines) + (nlines - 1) END AS tlen,
-      |    0 AS ntab
+      |    0 AS ntab,
+      |    100.0 AS conf,
+      |    CASE WHEN knw = 0 THEN 2 ELSE knw END AS words,
+      |    'pdf' AS charset
       |  FROM (
       |    SELECT id, idlen, len(kw) AS knw, (len(kw) + 5) // 6 AS nlines,
       |      coalesce(list_sum(list_transform(kw, x -> length(x))), 0) AS kchars
@@ -714,7 +730,7 @@ object SparkEntry {
       |      FROM m WHERE route = 'scanned'))),
       |brrows AS (
       |  SELECT id, 'pdf' AS doc_type, 'error' AS status, 0 AS pages,
-      |    0 AS tlen, 0 AS ntab
+      |    0 AS tlen, 0 AS ntab, 0.0 AS conf, 0 AS words, 'pdf' AS charset
       |  FROM m WHERE route = 'broken'),
       |alldocs AS (
       |  SELECT * FROM htmlrows UNION ALL SELECT * FROM pdfrows
@@ -841,6 +857,41 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // per-document oracle over the WHOLE extraction surface: url (host
+    // rules), deterministic sha-256 doc_id, classification, charset
+    // rotation, real confidence (bit-exact double formula), page/char/word
+    // accounting — 500 rows hash-compared; text bytes themselves are
+    // x02's golden gate
+    "x01_extract" -> (ExtractDerivedCte +
+      """SELECT
+        |  'https://' || CASE WHEN id % 5 = 0 THEN 'big.example.com'
+        |    ELSE 'h' || CAST(id % 97 AS VARCHAR) || '.example.com' END
+        |    || '/p/' || CAST(id AS VARCHAR) AS url,
+        |  sha256('https://' || CASE WHEN id % 5 = 0 THEN 'big.example.com'
+        |    ELSE 'h' || CAST(id % 97 AS VARCHAR) || '.example.com' END
+        |    || '/p/' || CAST(id AS VARCHAR)) AS doc_id,
+        |  doc_type, status, charset,
+        |  CAST(conf AS DOUBLE) AS confidence,
+        |  CAST(pages AS INTEGER) AS page_count,
+        |  CAST(tlen AS INTEGER) AS text_len,
+        |  CAST(words AS INTEGER) AS word_count
+        |FROM alldocs ORDER BY url""".stripMargin),
+    "x04_batch_summary" -> (ExtractDerivedCte +
+      """SELECT count(*) AS docs,
+        |  CAST(sum(pages) AS BIGINT) AS total_pages,
+        |  round(avg(conf), 2) AS avg_confidence,
+        |  CAST(count(*) FILTER (status = 'error') AS BIGINT) AS errors,
+        |  CAST(sum(tlen) AS BIGINT) AS total_chars,
+        |  CAST(sum(words) AS BIGINT) AS total_words
+        |FROM alldocs""".stripMargin),
+    "x07_catalog_filters" -> (ExtractDerivedCte +
+      """SELECT doc_type, count(*) AS docs,
+        |  CAST(count(*) FILTER (tlen > 0) AS BIGINT) AS with_text,
+        |  CAST(count(*) FILTER (ntab > 0) AS BIGINT) AS with_tables,
+        |  CAST(count(*) FILTER (tlen = 0 AND ntab = 0) AS BIGINT) AS empty_docs
+        |FROM alldocs
+        |WHERE doc_type LIKE '%native%' AND conf >= 50.0
+        |GROUP BY doc_type ORDER BY doc_type""".stripMargin),
     "x03_type_counts" -> (ExtractDerivedCte +
       """SELECT doc_type, status, count(*) AS cnt,
         |  CAST(sum(pages) AS BIGINT) AS total_pages,
