@@ -58,11 +58,36 @@ object CcittTiff {
     try {
       val img = ImageIO.read(new ByteArrayInputStream(wrapTiff(g4, w, h)))
       if (img == null || img.getWidth != w || img.getHeight != h) return None
-      val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-      val g = gray.createGraphics()
-      g.drawImage(img, 0, 0, null)
-      g.dispose()
-      Some(gray.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData)
+      // fast path: unpack the decoder's packed-bit buffer directly (the
+      // Graphics2D conversion allocates and runs a ColorModel loop); the
+      // index color model tells us which bit value is white
+      img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel
+          if img.getType == BufferedImage.TYPE_BYTE_BINARY && icm.getMapSize >= 2 =>
+          val d = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+          val stride = (w + 7) / 8
+          if (d.length < stride.toLong * h) return None
+          val white0 = (icm.getRed(0) & 0xFF) >= 128
+          val out = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bit = (d(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
+              out(y * w + x) =
+                if ((bit == 0) == white0) 0xFF.toByte else 0x00.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        case _ =>
+          val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val g = gray.createGraphics()
+          g.drawImage(img, 0, 0, null)
+          g.dispose()
+          Some(gray.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData)
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

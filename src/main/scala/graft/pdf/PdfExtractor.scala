@@ -323,23 +323,45 @@ object PdfExtractor {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
       if (img == null || img.getWidth != w || img.getHeight != h) return None
-      val raster = img.getRaster
       val n = w * h
       val out = new Array[Byte](n)
-      if (raster.getNumBands == 1) {
-        val px = raster.getSamples(0, 0, w, h, 0, null.asInstanceOf[Array[Int]])
-        var i = 0
-        while (i < n) { out(i) = px(i).toByte; i += 1 }
-      } else if (raster.getNumBands >= 3) {
-        val r = raster.getSamples(0, 0, w, h, 0, null.asInstanceOf[Array[Int]])
-        val g = raster.getSamples(0, 0, w, h, 1, null.asInstanceOf[Array[Int]])
-        val b = raster.getSamples(0, 0, w, h, 2, null.asInstanceOf[Array[Int]])
-        var i = 0
-        while (i < n) {
-          out(i) = ((r(i) * 299 + g(i) * 587 + b(i) * 114) / 1000).toByte
-          i += 1
-        }
-      } else return None
+      // fast paths read the decoder's backing byte buffer directly — the
+      // getSamples API would copy each band into a fresh int[w*h] (~2 MB of
+      // churn per 3×-DPI color page), and allocation bandwidth is exactly
+      // what stops wide executors scaling
+      img.getType match {
+        case java.awt.image.BufferedImage.TYPE_BYTE_GRAY =>
+          val d = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          if (d.length < n) return None
+          System.arraycopy(d, 0, out, 0, n)
+        case java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+          val d = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          if (d.length < 3 * n) return None
+          var i = 0
+          while (i < n) {
+            out(i) = (((d(3 * i + 2) & 0xFF) * 299 + (d(3 * i + 1) & 0xFF) * 587 +
+              (d(3 * i) & 0xFF) * 114) / 1000).toByte
+            i += 1
+          }
+        case _ =>
+          val raster = img.getRaster
+          if (raster.getNumBands == 1) {
+            val px = raster.getSamples(0, 0, w, h, 0, null.asInstanceOf[Array[Int]])
+            var i = 0
+            while (i < n) { out(i) = px(i).toByte; i += 1 }
+          } else if (raster.getNumBands >= 3) {
+            val r = raster.getSamples(0, 0, w, h, 0, null.asInstanceOf[Array[Int]])
+            val g = raster.getSamples(0, 0, w, h, 1, null.asInstanceOf[Array[Int]])
+            val b = raster.getSamples(0, 0, w, h, 2, null.asInstanceOf[Array[Int]])
+            var i = 0
+            while (i < n) {
+              out(i) = ((r(i) * 299 + g(i) * 587 + b(i) * 114) / 1000).toByte
+              i += 1
+            }
+          } else return None
+      }
       Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
