@@ -41,7 +41,8 @@ object ScalingBench {
 
   final case class Run(cores: Int, docs: Long, mb: Double,
                        narrowRaw: Seq[Double], shuffleRaw: Seq[Double],
-                       loadStart: Double, loadEnd: Double) {
+                       loadStart: Double, loadEnd: Double,
+                       heapGb: Double = -1.0) {
     def narrowSec: Double = narrowRaw.min
     def shuffleSec: Double = shuffleRaw.min
   }
@@ -56,7 +57,8 @@ object ScalingBench {
     s"""{"cores":${r.cores},"docs":${r.docs},"mb":${f(r.mb)},""" +
       s""""narrow_raw":${seq(r.narrowRaw)},"shuffle_raw":${seq(r.shuffleRaw)},""" +
       s""""narrow_sec":${f(r.narrowSec)},"shuffle_sec":${f(r.shuffleSec)},""" +
-      s""""load_start":${f(r.loadStart)},"load_end":${f(r.loadEnd)}}"""
+      s""""load_start":${f(r.loadStart)},"load_end":${f(r.loadEnd)},""" +
+      s""""heap_gb":${f(r.heapGb)}}"""
 
   def main(args: Array[String]): Unit = {
     // "once" mode: one cluster size in a FRESH JVM (heap/JIT isolation),
@@ -128,7 +130,8 @@ object ScalingBench {
       System.err.println(s"[scaling] cores=$cores narrow=${seq(narrowRaw)} " +
         s"shuffle=${seq(shuffleRaw)} load=$loadStart->$loadEnd")
       pages.unpersist()
-      Run(cores, docs, bytes / 1048576.0, narrowRaw, shuffleRaw, loadStart, loadEnd)
+      Run(cores, docs, bytes / 1048576.0, narrowRaw, shuffleRaw, loadStart, loadEnd,
+        Runtime.getRuntime.maxMemory / 1073741824.0)
     } finally spark.stop()
   }
 
@@ -143,7 +146,8 @@ object ScalingBench {
     Run(scalars("cores").toInt, scalars("docs").toLong, scalars("mb"),
       arrays.getOrElse("narrow_raw", Seq(scalars("narrow_sec"))),
       arrays.getOrElse("shuffle_raw", Seq(scalars("shuffle_sec"))),
-      scalars.getOrElse("load_start", -1.0), scalars.getOrElse("load_end", -1.0))
+      scalars.getOrElse("load_start", -1.0), scalars.getOrElse("load_end", -1.0),
+      scalars.getOrElse("heap_gb", -1.0))
   }
 
   /** Render BENCH/BASELINE.md from the measured (N, 4N) pairs — the ONLY
@@ -162,8 +166,8 @@ object ScalingBench {
     def reps(xs: Seq[Double]) = xs.map(f).mkString(" ")
     val repRows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       Seq(a, b).flatMap(r => Seq(
-        s"| ${i + 1} | ${r.cores} | narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
-        s"| ${i + 1} | ${r.cores} | shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
+        s"| ${i + 1} | ${r.cores} | ${f(r.heapGb)} | narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
+        s"| ${i + 1} | ${r.cores} | ${f(r.heapGb)} | shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
     }.mkString("\n")
     val gates = pairs.map { case (a, b) =>
       val thrN = a.docs / a.narrowSec; val thr4 = b.docs / b.narrowSec
@@ -198,12 +202,18 @@ object ScalingBench {
          |Input: ${h.docs} pages, ${f(h.mb)} MiB HTML+PDF payload, cached,
          |fixed 128 input partitions at every size (a table's bucketing does not
          |change with cluster size). JIT warm-up paid untimed in every JVM.
+         |JVM sizing mirrors a real executor: heap and GC threads scale with
+         |the simulated core count (2 GiB + ParallelGCThreads per core via
+         |SPARK_DRIVER_MEM / GRAFT_JAVA_OPTS) — a fixed heap would starve the
+         |wide size with young-GC pauses a real 4N cluster never sees (its
+         |memory grows 4x with the executors). Actual per-JVM heap is
+         |recorded in the replicate table.
          |
          |## Replicates (every timed run, seconds; min = least-contended estimate
          |under ambient box load — this report is tool-generated, nothing elided)
          |
-         || window | cores | variant | load avg start→end | replicates (s) | min |
-         ||---|---|---|---|---|---|
+         || window | cores | heap GiB | variant | load avg start→end | replicates (s) | min |
+         ||---|---|---|---|---|---|---|
          |$repRows
          |
          |## Headline: pre-partitioned input (the 100 TB design)
