@@ -176,14 +176,14 @@ object ScalingBench {
       (a, b, thrN, thr4, eff, effS)
     }
     val headline = gates.map { case (a, b, thrN, thr4, eff, _) =>
-      s"""| ${a.cores} | ${f(a.narrowSec)} | ${f(thrN)} | ${f(a.mb / a.narrowSec)} |
-         || ${b.cores} | ${f(b.narrowSec)} | ${f(thr4)} | ${f(b.mb / b.narrowSec)} |
-         ||  | **efficiency ${b.cores}/(4x${a.cores}) = ${f(eff)}** | gate >= 0.8 -> ${if (eff >= 0.8) "PASS" else "FAIL"} | |""".stripMargin
+      s"| ${a.cores} | ${f(a.narrowSec)} | ${f(thrN)} | ${f(a.mb / a.narrowSec)} |\n" +
+        s"| ${b.cores} | ${f(b.narrowSec)} | ${f(thr4)} | ${f(b.mb / b.narrowSec)} |\n" +
+        s"|  | **efficiency ${b.cores}/(4x${a.cores}) = ${f(eff)}** | gate >= 0.8 -> ${if (eff >= 0.8) "PASS" else "FAIL"} | |"
     }.mkString("\n")
     val shuffleRows = gates.map { case (a, b, _, _, _, effS) =>
-      s"""| ${a.cores} | ${f(a.shuffleSec)} | ${f(a.docs / a.shuffleSec)} |
-         || ${b.cores} | ${f(b.shuffleSec)} | ${f(b.docs / b.shuffleSec)} |
-         ||  | shuffle efficiency = ${f(effS)} | |""".stripMargin
+      s"| ${a.cores} | ${f(a.shuffleSec)} | ${f(a.docs / a.shuffleSec)} |\n" +
+        s"| ${b.cores} | ${f(b.shuffleSec)} | ${f(b.docs / b.shuffleSec)} |\n" +
+        s"|  | shuffle efficiency = ${f(effS)} | |"
     }.mkString("\n")
     val anyOver = gates.exists(_._5 > 1.05)
     val report =
@@ -214,7 +214,7 @@ object ScalingBench {
          |
          || window | cores | heap GiB | variant | load avg start→end | replicates (s) | min |
          ||---|---|---|---|---|---|---|
-         |$repRows
+         |%REPROWS%
          |
          |## Headline: pre-partitioned input (the 100 TB design)
          |
@@ -225,7 +225,7 @@ object ScalingBench {
          |
          || cores | wall (s) | docs/sec | MB/sec |
          ||---|---|---|---|
-         |$headline
+         |%HEADLINE%
          |${if (anyOver) "Note: >1.0 efficiency reflects local-mode measurement noise (GC/JIT variance across JVMs); the honest claim is \"no sublinear penalty observed\"." else ""}
          |Load-average caveat: the box carries ambient load from other
          |workloads (visible in the replicate table); at the larger sizes the
@@ -236,7 +236,7 @@ object ScalingBench {
          |
          || cores | wall (s) | docs/sec |
          ||---|---|---|
-         |$shuffleRows
+         |%SHUFFLEROWS%
          |
          |Local-mode caveat: all "executors" share one memory bus and one disk,
          |so shuffle bandwidth does not grow with core count in this sandbox; on
@@ -246,6 +246,9 @@ object ScalingBench {
          |
          |Hardware: ${Runtime.getRuntime.availableProcessors}-thread box.
          |""".stripMargin
+        .replace("%REPROWS%", repRows)
+        .replace("%HEADLINE%", headline)
+        .replace("%SHUFFLEROWS%", shuffleRows)
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), report)
     val g = gates.map { case (a, b, _, _, eff, effS) =>
