@@ -260,9 +260,26 @@ object PdfExtractor {
               Some(graft.ocr.GlyphOcr.rgbToGray(raw, w, h))
             else None // 2/4-bit/CMYK/ICC images: no OCR, page stays empty
           }
+        // /Decode [1 0] (PDF 1.7 §8.9.5.2): sample values are inverted
+        // relative to the color space — common on real scans; honor it by
+        // inverting the luminance (first component suffices for gray/RGB
+        // gray-derived output)
+        val inverted = objs.resolve(s.dict.m.getOrElse("Decode", PNull)) match {
+          case PArr(items) if items.length >= 2 =>
+            (objs.num(items(0)), objs.num(items(1))) match {
+              case (Some(a), Some(b)) => a > b
+              case _ => false
+            }
+          case _ => false
+        }
+        val lum = if (!inverted) gray else gray.map { g =>
+          var i = 0
+          while (i < g.length) { g(i) = (~g(i)).toByte; i += 1 }
+          g
+        }
         // auto-scale: scans arrive at 1-3× the font's native DPI
         // (reference profiles 150/300/600, system_config.py:19-33)
-        gray.map(g => graft.ocr.GlyphOcr.recognizeAutoScale(g, w, h))
+        lum.map(g => graft.ocr.GlyphOcr.recognizeAutoScale(g, w, h))
       }
     }.filter(_.glyphs > 0)
     if (results.isEmpty) None

@@ -176,6 +176,33 @@ class OcrSpec extends AnyFunSuite {
     assert(doc.confidence == 0.0)
   }
 
+  test("/Decode [1 0] inverted raster is honored") {
+    val lines = Vector("Inverted negative scan")
+    val bmp = GlyphRender.render(lines, skew0 = 0.0125)
+    val neg = bmp.gray.map(b => (~b).toByte)
+    val pdf8 = graft.pdf.MiniPdf.buildScanned(neg, bmp.w, bmp.h)
+    val pdf = new String(pdf8, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/BitsPerComponent 8", "/BitsPerComponent 8 /Decode [ 1 0 ]")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
+    // and WITHOUT the Decode entry the negative reads as garbage/empty
+    val raw = graft.pdf.PdfExtractor.extract(pdf8).toOption.get
+    assert(raw.text != lines.mkString("\n"))
+  }
+
+  test("CCITT G4 codec round-trips odd widths and random bilevel images") {
+    // widths not divisible by 8 exercise row bit-padding in both codecs
+    Seq((13, 9), (31, 17), (100, 3)).foreach { case (w, h) =>
+      val gray = Array.tabulate[Byte](w * h)(i =>
+        if ((graft.ops.Dedup.splitmix64(i * 77L + w) & 1L) == 0L) 0x00.toByte
+        else 0xFF.toByte)
+      val g4 = graft.pdf.CcittTiff.encodeG4(gray, w, h)
+      val back = graft.pdf.CcittTiff.decodeG4Gray(g4, w, h).get
+      assert(back.sameElements(gray), s"${w}x$h random round-trip")
+    }
+  }
+
   test("CCITT G4 codec round-trips bilevel pages exactly") {
     val lines = Vector("Fax class scan 77", "with a second line")
     Seq(0.0, 0.025, -0.04375).foreach { s =>
