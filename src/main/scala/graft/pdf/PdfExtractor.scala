@@ -237,7 +237,15 @@ object PdfExtractor {
       val d = s.dict.m
       val w = objs.num(d.getOrElse("Width", PNull)).map(_.toInt).getOrElse(0)
       val h = objs.num(d.getOrElse("Height", PNull)).map(_.toInt).getOrElse(0)
-      val bits = objs.num(d.getOrElse("BitsPerComponent", PNull)).map(_.toInt).getOrElse(0)
+      // /ImageMask true (PDF 1.7 §8.9.6.2): a 1-bit stencil, no color
+      // space, painted with the current fill (black in practice) — the
+      // classic fax-pipeline shape, usually CCITT-encoded. Bit semantics
+      // (default Decode [0 1]: 0 paints, 1 transparent-over-white-page)
+      // coincide with DeviceGray 1-bit luminance, so the same unpack
+      // applies; a /Decode [1 0] mask flips via the inversion below.
+      val isMask = d.get("ImageMask").exists(v => objs.resolve(v) == PBool(true))
+      val bits = objs.num(d.getOrElse("BitsPerComponent", PNull)).map(_.toInt)
+        .getOrElse(if (isMask) 1 else 0)
       val cs = objs.name(d.getOrElse("ColorSpace", PNull)).getOrElse("")
       if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) || (bits != 8 && bits != 1)) None
       else {
@@ -254,7 +262,7 @@ object PdfExtractor {
           else if (filters == Vector("CCITTFaxDecode"))
             ccittGray(s, objs, w, h)
           else decodeStream(s, objs).toOption.flatMap { raw =>
-            if (bits == 1 && cs == "DeviceGray") unpack1Bit(raw, w, h)
+            if (bits == 1 && (cs == "DeviceGray" || isMask)) unpack1Bit(raw, w, h)
             else if (bits == 8 && cs == "DeviceGray" && raw.length >= w * h) Some(raw)
             else if (bits == 8 && cs == "DeviceRGB" && raw.length >= 3 * w * h)
               Some(graft.ocr.GlyphOcr.rgbToGray(raw, w, h))

@@ -191,6 +191,31 @@ class OcrSpec extends AnyFunSuite {
     assert(raw.text != lines.mkString("\n"))
   }
 
+  test("/ImageMask true stencil (CCITT and Flate-packed) OCRs like 1-bit gray") {
+    val lines = Vector("Stencil fax mask, 1994")
+    val bmp = GlyphRender.render(lines, skew0 = -0.0125, noiseSeed = 4L, noisePerGap = 2)
+    // CCITT-encoded mask: swap the colorspace entry for /ImageMask true
+    val ccitt = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true)
+    val masked = new String(ccitt, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/ColorSpace /DeviceGray", "/ImageMask true")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = graft.pdf.PdfExtractor.extract(masked).toOption.get
+    assert(doc.text == lines.mkString("\n"), s"ccitt mask text='${doc.text}'")
+    // Flate-packed 1-bit mask with NO BitsPerComponent (implied 1)
+    val stride = (bmp.w + 7) / 8
+    val packed = new Array[Byte](stride * bmp.h)
+    for (y <- 0 until bmp.h; x <- 0 until bmp.w)
+      if ((bmp.gray(y * bmp.w + x) & 0xFF) >= 128)
+        packed(y * stride + (x >> 3)) =
+          (packed(y * stride + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+    val flate = graft.pdf.MiniPdf.buildScanned(packed, bmp.w, bmp.h)
+    val fmask = new String(flate, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/ColorSpace /DeviceGray /BitsPerComponent 8", "/ImageMask true")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc2 = graft.pdf.PdfExtractor.extract(fmask).toOption.get
+    assert(doc2.text == lines.mkString("\n"), s"flate mask text='${doc2.text}'")
+  }
+
   test("CCITT G4 codec round-trips odd widths and random bilevel images") {
     // widths not divisible by 8 exercise row bit-padding in both codecs
     Seq((13, 9), (31, 17), (100, 3)).foreach { case (w, h) =>
