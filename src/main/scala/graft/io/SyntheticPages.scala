@@ -91,9 +91,12 @@ object SyntheticPages {
       val dct = enc == 2 || enc == 4
       val ccitt = enc == 3
       val rgb = !ccitt && (if (dct) enc == 4 else variant % 2 == 1)
+      // half the CCITT stencils ship as /ImageMask (the fax-pipeline form)
+      val mask = ccitt && (variant / 5) % 2 == 1
       val samples = if (rgb) graft.ocr.GlyphRender.toRgb(bmp) else bmp.gray
       Spec(urlOf(docId), Epoch + docId * 1000L,
-        MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb, dct = dct, ccitt = ccitt),
+        MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb, dct = dct,
+          ccitt = ccitt, mask = mask),
         lines.mkString("\n"), lang)
     } else if (isBrokenDoc(docId)) {
       val junk = new java.lang.StringBuilder("%PDF-1.7\n")

@@ -299,8 +299,9 @@ object MiniPdf {
     */
   def buildScanned(samples: Array[Byte], w: Int, h: Int, rgb: Boolean = false,
                    padTo: Int = 1024, dct: Boolean = false,
-                   ccitt: Boolean = false): Array[Byte] = {
+                   ccitt: Boolean = false, mask: Boolean = false): Array[Byte] = {
     require(!(dct && ccitt) && !(ccitt && rgb), "ccitt is bilevel gray only")
+    require(!mask || ccitt, "mask fixtures are CCITT stencils")
     val out = new ByteArrayOutputStream()
     def wr(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     wr("%PDF-1.7\n")
@@ -314,13 +315,17 @@ object MiniPdf {
       if (dct) encodeJpeg(samples, w, h, rgb)
       else if (ccitt) CcittTiff.encodeG4(samples, w, h)
       else deflate(samples)
-    val cs = if (rgb) "/DeviceRGB" else "/DeviceGray"
+    // a mask is a color-space-less stencil (/ImageMask true); otherwise the
+    // usual explicit ColorSpace + BitsPerComponent pair
+    val colorDecl =
+      if (mask) "/ImageMask true /BitsPerComponent 1 "
+      else s"/ColorSpace ${if (rgb) "/DeviceRGB" else "/DeviceGray"} " +
+        s"/BitsPerComponent ${if (ccitt) 1 else 8} "
     val filter = if (dct) "/DCTDecode"
       else if (ccitt) "/CCITTFaxDecode" else "/FlateDecode"
-    val bpc = if (ccitt) 1 else 8
     val parms = if (ccitt) s"/DecodeParms << /K -1 /Columns $w /Rows $h >> " else ""
     wr(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
-      s"/ColorSpace $cs /BitsPerComponent $bpc /Filter $filter $parms" +
+      colorDecl + s"/Filter $filter $parms" +
       s"/Length ${packed.length} >>\nstream\n")
     out.write(packed)
     wr("\nendstream\nendobj\n")

@@ -346,8 +346,22 @@ object PdfExtractor {
     */
   private def jpegGray(data: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      if (img == null || img.getWidth != w || img.getHeight != h) return None
+      // check the JPEG's OWN header dimensions BEFORE decoding: the dict
+      // gate caps declared w×h, but a crafted payload with small dict dims
+      // and huge internal dims would otherwise allocate its full raster
+      // inside ImageIO.read before we could compare
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis)
+          if (reader.getWidth(0) != w || reader.getHeight(0) != h) return None
+          reader.read(0)
+        } finally { reader.dispose(); iis.close() }
+      if (img == null) return None
       val n = w * h
       val out = new Array[Byte](n)
       // fast paths read the decoder's backing byte buffer directly — the

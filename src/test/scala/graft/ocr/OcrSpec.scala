@@ -290,6 +290,29 @@ class OcrSpec extends AnyFunSuite {
     assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
   }
 
+  test("raster-path fuzz: mutated scanned PDFs of every encoding never throw") {
+    val lines = Vector("Fuzz target text here")
+    val bmp = GlyphRender.render(lines)
+    val fixtures = Seq(
+      graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h),
+      graft.pdf.MiniPdf.buildScanned(GlyphRender.toRgb(bmp), bmp.w, bmp.h, rgb = true),
+      graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, dct = true),
+      graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true),
+      graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true, mask = true))
+    var seed = 0xF1DDL
+    fixtures.foreach { fx =>
+      (0 until 40).foreach { _ =>
+        val b = fx.clone()
+        // 1-4 deterministic byte mutations anywhere in the file
+        (0 to (seed & 3).toInt).foreach { j =>
+          seed = graft.ops.Dedup.splitmix64(seed + j)
+          b((java.lang.Long.remainderUnsigned(seed, b.length).toInt)) = (seed >> 32).toByte
+        }
+        graft.pipeline.Kernel.extractOne(b) // total: must never throw
+      }
+    }
+  }
+
   test("synthetic scanned corpus pages OCR back to their golden byte-exactly") {
     // ids cover variants 0-9: every raster encoding (Flate gray/RGB, JPEG
     // gray/RGB, CCITT G4), DPI scales 1/2/3, all skew/noise rotations
