@@ -82,6 +82,55 @@ object MiniPdf {
     build(Seq(streamFor(lines)), flate)
   }
 
+  /** MIXED document: native-text pages interleaved with image-only scanned
+    * pages — the reference's "mixed" class (pdf_analyzer.py:96-122), where
+    * per-page routing matters: span pages extract directly, raster pages go
+    * through pixel OCR, and the page texts join "\n\n" in page order.
+    * `pages` entries are Left(contentStream) or Right((graySamples, w, h)).
+    * Object layout: 1 catalog, 2 pages, 3 font, then per page i: page
+    * 4+3i, content 5+3i, image 6+3i (text pages leave the image slot
+    * unused).
+    */
+  def buildMixed(pages: Seq[Either[String, (Array[Byte], Int, Int)]],
+                 padTo: Int = 1024): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.7\n")
+    val kidRefs = pages.indices.map(i => s"${4 + 3 * i} 0 R").mkString(" ")
+    w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kidRefs ] /Count ${pages.length} >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (p, i) =>
+      val pageNum = 4 + 3 * i
+      val contNum = 5 + 3 * i
+      val imgNum = 6 + 3 * i
+      p match {
+        case Left(content) =>
+          w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+            s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+          w(s"$contNum 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+        case Right((gray, iw, ih)) =>
+          w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+            s"/Resources << /XObject << /Im0 $imgNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+          val content = s"q $iw 0 0 $ih 72 ${720 - ih} cm /Im0 Do Q"
+          w(s"$contNum 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+          val packed = deflate(gray)
+          w(s"$imgNum 0 obj\n<< /Type /XObject /Subtype /Image /Width $iw /Height $ih " +
+            s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode " +
+            s"/Length ${packed.length} >>\nstream\n")
+          out.write(packed)
+          w("\nendstream\nendobj\n")
+      }
+    }
+    w(s"trailer\n<< /Size ${3 * pages.length + 4} /Root 1 0 R >>\n%%EOF\n")
+    if (out.size() < padTo) {
+      w("%")
+      while (out.size() < padTo - 1) out.write('x')
+      w("\n")
+    }
+    out.toByteArray
+  }
+
   /** Build a content stream placing each (text, x, y) with its own Td from origin. */
   def streamFor(lines: Seq[(String, Int, Int)]): String = {
     val ops = lines.map { case (t, x, y) =>

@@ -290,6 +290,24 @@ class OcrSpec extends AnyFunSuite {
     assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
   }
 
+  test("mixed document: text pages extract spans, image pages OCR, in page order") {
+    val scanLines = Vector("Scanned middle page 2")
+    val bmp = GlyphRender.render(scanLines, skew0 = 0.0375, noiseSeed = 8L, noisePerGap = 2)
+    val pdf = graft.pdf.MiniPdf.buildMixed(Seq(
+      Left(graft.pdf.MiniPdf.streamFor(Seq(("Native first page", 72, 720)))),
+      Right((bmp.gray, bmp.w, bmp.h)),
+      Left(graft.pdf.MiniPdf.streamFor(Seq(("Native last page", 72, 720))))))
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.text ==
+      "Native first page\n\nScanned middle page 2\n\nNative last page",
+      s"text='${doc.text}'")
+    assert(doc.pageCount == 3)
+    // classification reads pre-OCR metrics: 2/3 extractable + fonts → mixed
+    assert(doc.docType == "mixed", s"type=${doc.docType}")
+    // confidence: 2 span pages + one fully-matched OCR page over 3 pages
+    assert(doc.confidence == 100.0)
+  }
+
   test("raster-path fuzz: mutated scanned PDFs of every encoding never throw") {
     val lines = Vector("Fuzz target text here")
     val bmp = GlyphRender.render(lines)
