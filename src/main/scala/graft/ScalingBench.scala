@@ -155,7 +155,8 @@ object ScalingBench {
     * Each pair is one back-to-back measurement window; the gate is computed
     * within its window only.
     */
-  def emit(pairs: Seq[(Run, Run)], sfDir: String, freshJvms: Boolean): Unit = {
+  def emit(pairs: Seq[(Run, Run)], sfDir: String, freshJvms: Boolean,
+           outPath: String = "BENCH/BASELINE.md"): Unit = {
     pairs.foreach { case (a, b) =>
       require(b.cores == 4 * a.cores, s"need 4x cores, got ${a.cores} vs ${b.cores}")
       require(a.docs == b.docs, s"inputs differ: ${a.docs} vs ${b.docs}")
@@ -249,8 +250,8 @@ object ScalingBench {
         .replace("%REPROWS%", repRows)
         .replace("%HEADLINE%", headline)
         .replace("%SHUFFLEROWS%", shuffleRows)
-    Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), report)
+    Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
+    Files.writeString(Paths.get(outPath), report)
     val g = gates.map { case (a, b, _, _, eff, effS) =>
       s"""{"n":${a.cores},"n4":${b.cores},"efficiency":${f(eff)},"shuffle_efficiency":${f(effS)}}"""
     }.mkString("[", ",", "]")
