@@ -31,6 +31,22 @@ object CrawlStats {
         Salting.hostCol(col("url")).as("host"))
       .agg(count(lit(1)).as("pages"), sum(length(col("html"))).as("bytes"))
 
+  /** Streaming exact dedup of a crawl tail: first sight of a payload hash
+    * passes, re-crawls and mirror copies within the watermark horizon drop.
+    * `dropDuplicatesWithinWatermark` is the production shape — its state
+    * store evicts a hash once the watermark passes its last occurrence, so
+    * state is bounded by (distinct payloads per horizon), not by crawl
+    * lifetime (a plain streaming dropDuplicates would grow forever). The
+    * batch analogue is d01/q05's hash groupBy; the cross-horizon analogue
+    * is the incremental MinHash dedup (d07).
+    */
+  def dedupStream(pages: DataFrame, lateness: String = "2 hours"): DataFrame =
+    pages
+      .withColumn("content_hash", sha2(col("html"), 256))
+      .withWatermark("warc_ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash")
+
   final case class HostVisit(host: String, ts: Timestamp)
   final case class HostState(startMs: Long, lastMs: Long, pages: Long)
   final case class HostSession(host: String, start: Timestamp, end: Timestamp,

@@ -44,6 +44,39 @@ class StreamingSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("streaming dedup: re-crawled payloads within the watermark drop, first sight passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200000L
+    def page(i: Int, body: String, offMin: Long) =
+      graft.model.Page(s"https://h$i.example.com/p/$i",
+        new Timestamp(t0 + offMin * 60000),
+        body.getBytes("UTF-8"), "", "en")
+
+    val mem = MemoryStream[graft.model.Page]
+    val q = CrawlStats.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      // batch 1: two distinct payloads + one exact duplicate (same bytes,
+      // different url) — duplicate drops within the batch
+      mem.addData(page(1, "alpha body", 0), page(2, "beta body", 1),
+        page(3, "alpha body", 2))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+      // batch 2: a re-crawl of payload alpha 30 min later (inside the 2h
+      // horizon) drops; a genuinely new payload passes
+      mem.addData(page(4, "alpha body", 30), page(5, "gamma body", 31))
+      q.processAllAvailable()
+      val urls = spark.table("dedup").select("url").as[String].collect().sorted
+      assert(urls.length == 3, urls.mkString(","))
+      assert(urls.exists(_.contains("h1.")) && urls.exists(_.contains("h2.")) &&
+        urls.exists(_.contains("h5.")))
+    } finally q.stop()
+  }
+
   test("watermarked 1h windows finalize exactly once in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
