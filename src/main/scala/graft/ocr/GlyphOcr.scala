@@ -7,8 +7,15 @@ import GlyphFont._
   * (`ocr_adapters.py:49-76`; rasterize :62,144), rebuilt as a deterministic
   * JVM kernel:
   *
-  *   1. binarize (fixed threshold 128 — reference E6's adaptive threshold
-  *      collapses to this on clean bimodal scans);
+  *   1. binarize adaptively (reference E6): per-32px-tile local contrast
+  *      over a 3×3-tile neighborhood; threshold = (min+max)/2 where the
+  *      neighborhood contrast ≥ 40, else no ink there. On a clean bimodal
+  *      0/255 scan every text neighborhood thresholds at 127 — identical
+  *      to the former fixed-128 rule (and the same wide margin JPEG decode
+  *      error must cross) — while low-contrast scans (faded ink, gray
+  *      paper) and illumination gradients (photographed pages, one side in
+  *      shadow) binarize by their LOCAL ink/background levels instead of
+  *      reading blank or solid;
   *   2. deskew: search vertical-shear slopes, keep the one maximizing the
   *      row-projection energy Σ count² (reference E7 takes the median
   *      Hough-line angle — same robust-alignment idea, projection profiles
@@ -63,6 +70,68 @@ object GlyphOcr {
     (c, width, height, colsBits)
   }.toVector
 
+  /** Tile edge for adaptive binarization (power of two: tile index is a
+    * shift). 32 px ≫ glyph size (W×H ≤ 16×16) and ≪ page size, so a 3×3
+    * neighborhood (96 px) always sees background around any text, and ink
+    * whenever a glyph is near.
+    */
+  private final val TileShift = 5
+  /** Minimum neighborhood (max−min) for a tile to binarize at all: below
+    * this, local variation is sensor/JPEG noise or a bare illumination
+    * gradient, not ink — the tile stays blank (Bernsen's contrast floor).
+    */
+  private final val MinContrast = 40
+
+  /** Per-tile binarization thresholds: Bernsen local midpoint over the
+    * 3×3-tile neighborhood, 0 (nothing passes `<0`... `<=` never used) for
+    * low-contrast tiles. Deterministic integer math.
+    */
+  private def tileThresholds(gray: Array[Byte], w: Int, h: Int): (Array[Int], Int) = {
+    val tw = ((w - 1) >> TileShift) + 1
+    val th = ((h - 1) >> TileShift) + 1
+    val mins = Array.fill(tw * th)(255)
+    val maxs = new Array[Int](tw * th)
+    var y = 0
+    while (y < h) {
+      val rowBase = (y >> TileShift) * tw
+      var x = 0
+      while (x < w) {
+        val v = gray(y * w + x) & 0xFF
+        val t = rowBase + (x >> TileShift)
+        if (v < mins(t)) mins(t) = v
+        if (v > maxs(t)) maxs(t) = v
+        x += 1
+      }
+      y += 1
+    }
+    val thr = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        var nMin = 255
+        var nMax = 0
+        var dy = math.max(0, ty - 1)
+        val eY = math.min(th - 1, ty + 1)
+        while (dy <= eY) {
+          var dx = math.max(0, tx - 1)
+          val eX = math.min(tw - 1, tx + 1)
+          while (dx <= eX) {
+            val t = dy * tw + dx
+            if (mins(t) < nMin) nMin = mins(t)
+            if (maxs(t) > nMax) nMax = maxs(t)
+            dx += 1
+          }
+          dy += 1
+        }
+        thr(ty * tw + tx) = if (nMax - nMin >= MinContrast) (nMin + nMax) >> 1 else 0
+        tx += 1
+      }
+      ty += 1
+    }
+    (thr, tw)
+  }
+
   def recognize(gray: Array[Byte], w: Int, h: Int): OcrResult = {
     if (w <= 0 || h <= 0 || gray.length < w * h) return OcrResult("", 0, 0, 0.0)
 
@@ -71,18 +140,25 @@ object GlyphOcr {
     // the un-shear then iterate the ink list instead of re-reading every
     // pixel 18 times — the scanned slice is 2% of the corpus but was ~half
     // its extraction wall, dominated by exactly these full-image passes.
+    // (The tile min/max pre-pass adds one more read of the page — still
+    // O(pixels), no allocation beyond the tiny tile grid.)
+    val (thr, tw) = tileThresholds(gray, w, h)
     var nInk = 0
     var inkXY: Array[Int] = new Array[Int](1024) // packed y*w+x, grown on demand
     locally {
-      var i = 0
-      val n = w * h
-      while (i < n) {
-        if ((gray(i) & 0xFF) < 128) {
-          if (nInk == inkXY.length) inkXY = java.util.Arrays.copyOf(inkXY, nInk * 2)
-          inkXY(nInk) = i
-          nInk += 1
+      var y = 0
+      while (y < h) {
+        val rowBase = (y >> TileShift) * tw
+        var x = 0
+        while (x < w) {
+          if ((gray(y * w + x) & 0xFF) < thr(rowBase + (x >> TileShift))) {
+            if (nInk == inkXY.length) inkXY = java.util.Arrays.copyOf(inkXY, nInk * 2)
+            inkXY(nInk) = y * w + x
+            nInk += 1
+          }
+          x += 1
         }
-        i += 1
+        y += 1
       }
     }
 

@@ -103,13 +103,61 @@ class OcrSpec extends AnyFunSuite {
   test("recognize is total on garbage and yields zero confidence") {
     assert(GlyphOcr.recognize(Array.emptyByteArray, 0, 0).glyphs == 0)
     assert(GlyphOcr.recognize(Array.fill[Byte](100)(0x40), 10, 10).matchRate == 0.0)
-    // all-black page: one giant band, unmatched runs → '?', never a throw
+    // all-black page: zero local contrast → adaptive binarize finds no ink
     val black = GlyphOcr.recognize(Array.fill[Byte](400)(0), 20, 20)
     assert(black.matched == 0)
     // deterministic splitmix noise image
     val rnd = Array.tabulate[Byte](64 * 64)(i => graft.ops.Dedup.splitmix64(i).toByte)
     val r = GlyphOcr.recognize(rnd, 64, 64)
     assert(r.glyphs >= 0) // total, no throw
+  }
+
+  test("low-contrast scan (faded ink on gray paper) recognizes exactly") {
+    // former fixed-128 rule: every pixel here is ≥ 128 → zero ink → blank
+    val lines = Vector("Faded thermal receipt", "total 12.50, thanks!")
+    val bmp = GlyphRender.render(lines, skew0 = 0.0125, noiseSeed = 6L, noisePerGap = 2)
+    val faded = bmp.gray.map(b => (if ((b & 0xFF) < 128) 160 else 210).toByte)
+    val r = GlyphOcr.recognize(faded, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
+    assert(r.matchRate == 1.0)
+  }
+
+  test("illumination gradient (photographed page, one side shadowed) recognizes") {
+    // background slides 140 → 250 across the width, ink tracks it at −60:
+    // no single global threshold separates ink from background (left-side
+    // background 140 is darker than right-side ink 190), but every 96-px
+    // neighborhood is cleanly bimodal
+    val lines = Vector("Photographed page, no scanner", "shadow on the left margin")
+    val bmp = GlyphRender.render(lines, noiseSeed = 14L, noisePerGap = 2)
+    val lit = new Array[Byte](bmp.gray.length)
+    for (y <- 0 until bmp.h; x <- 0 until bmp.w) {
+      val bg = 140 + x * 110 / math.max(1, bmp.w - 1)
+      val i = y * bmp.w + x
+      lit(i) = (if ((bmp.gray(i) & 0xFF) < 128) bg - 60 else bg).toByte
+    }
+    val r = GlyphOcr.recognize(lit, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
+    assert(r.matchRate == 1.0)
+  }
+
+  test("blank gradient page binarizes to no ink (contrast floor)") {
+    // a bare illumination gradient has per-neighborhood contrast below 40
+    // even though the page-global range is 110 — nothing reads as ink
+    val w = 300; val h = 120
+    val grad = Array.tabulate[Byte](w * h)(i => (140 + (i % w) * 110 / (w - 1)).toByte)
+    val r = GlyphOcr.recognize(grad, w, h)
+    assert(r.glyphs == 0, s"gradient misread as ${r.glyphs} glyphs: '${r.text}'")
+  }
+
+  test("low-contrast scanned PDF end-to-end (Flate gray raster)") {
+    val lines = Vector("Carbon copy, 3rd sheet")
+    val bmp = GlyphRender.render(lines, skew0 = -0.025, noiseSeed = 15L, noisePerGap = 2)
+    val faded = bmp.gray.map(b => (if ((b & 0xFF) < 128) 150 else 205).toByte)
+    val pdf = graft.pdf.MiniPdf.buildScanned(faded, bmp.w, bmp.h)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.docType == "scanned")
+    assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
+    assert(doc.confidence == 100.0)
   }
 
   test("scanned PDF end-to-end: image XObject → OCR text, scanned class") {
