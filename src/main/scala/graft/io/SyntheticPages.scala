@@ -93,7 +93,30 @@ object SyntheticPages {
       val rgb = !ccitt && (if (dct) enc == 4 else variant % 2 == 1)
       // half the CCITT stencils ship as /ImageMask (the fax-pipeline form)
       val mask = ccitt && (variant / 5) % 2 == 1
-      val samples = if (rgb) graft.ocr.GlyphRender.toRgb(bmp) else bmp.gray
+      // the gray-Flate slice (variant % 10 == 0, lossless so recognition
+      // stays byte-exact) rotates through realistic lighting: an
+      // illumination gradient (photographed page, one margin shadowed) or
+      // uniformly faded low-contrast ink — the adaptive-binarization
+      // territory a global threshold cannot read
+      val samples =
+        if (rgb) graft.ocr.GlyphRender.toRgb(bmp)
+        else if (variant % 10 == 0 && (variant / 10) % 2 == 0) {
+          val lit = new Array[Byte](bmp.gray.length)
+          var y = 0
+          while (y < bmp.h) {
+            var x = 0
+            while (x < bmp.w) {
+              val bg = 140 + x * 110 / math.max(1, bmp.w - 1)
+              val i = y * bmp.w + x
+              lit(i) = (if ((bmp.gray(i) & 0xFF) < 128) bg - 60 else bg).toByte
+              x += 1
+            }
+            y += 1
+          }
+          lit
+        } else if (variant % 10 == 0)
+          bmp.gray.map(b => (if ((b & 0xFF) < 128) 150 else 205).toByte)
+        else bmp.gray
       Spec(urlOf(docId), Epoch + docId * 1000L,
         MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb, dct = dct,
           ccitt = ccitt, mask = mask),

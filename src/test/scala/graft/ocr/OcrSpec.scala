@@ -381,8 +381,11 @@ class OcrSpec extends AnyFunSuite {
 
   test("synthetic scanned corpus pages OCR back to their golden byte-exactly") {
     // ids cover variants 0-9: every raster encoding (Flate gray/RGB, JPEG
-    // gray/RGB, CCITT G4), DPI scales 1/2/3, all skew/noise rotations
-    val ids = Seq(17L, 67L, 117L, 167L, 217L, 267L, 317L, 367L, 417L, 467L)
+    // gray/RGB, CCITT G4), DPI scales 1/2/3, all skew/noise rotations;
+    // 517/1017 are the gray-Flate lighting variants (faded low-contrast at
+    // variant 10, illumination gradient at 3×-DPI variant 20)
+    val ids = Seq(17L, 67L, 117L, 167L, 217L, 267L, 317L, 367L, 417L, 467L,
+      517L, 1017L)
     ids.foreach { id =>
       val spec = graft.io.SyntheticPages.pageFor(id,
         "palabras de prueba numero " + id + " con mas contenido util aqui", "es")
