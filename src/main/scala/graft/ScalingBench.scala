@@ -50,7 +50,10 @@ object ScalingBench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-  private def f(d: Double) = "%.3f".format(d)
+  // Locale.ROOT: a comma-decimal default locale would emit malformed JSON
+  // that report-mode's parser silently truncates at the comma
+  private def f(d: Double) =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
   private def seq(xs: Seq[Double]) = xs.map(f).mkString("[", ",", "]")
 
   private def toJson(r: Run): String =
@@ -76,6 +79,9 @@ object ScalingBench {
       val (files, sfDir) =
         if (rest.length % 2 == 1) (rest.dropRight(1), rest.last)
         else (rest, "/root/testdata/sf0.1")
+      require(files.length >= 2,
+        "usage: report <jsonN> <json4N> [<jsonN2> <json4N2> ...] [sfDir] — " +
+          "needs at least one (N, 4N) JSON pair (an odd trailing arg is the sfDir)")
       val runs = files.map(parse)
       emit(runs.grouped(2).map { case Array(a, b) => (a, b) }.toSeq,
         sfDir, freshJvms = true)
@@ -164,11 +170,12 @@ object ScalingBench {
     val h = pairs.head._1
     def loads(r: Run) =
       if (r.loadStart < 0) "n/a" else s"${f(r.loadStart)}→${f(r.loadEnd)}"
+    def heap(r: Run) = if (r.heapGb < 0) "n/a" else f(r.heapGb)
     def reps(xs: Seq[Double]) = xs.map(f).mkString(" ")
     val repRows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       Seq(a, b).flatMap(r => Seq(
-        s"| ${i + 1} | ${r.cores} | ${f(r.heapGb)} | narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
-        s"| ${i + 1} | ${r.cores} | ${f(r.heapGb)} | shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
+        s"| ${i + 1} | ${r.cores} | ${heap(r)} | narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
+        s"| ${i + 1} | ${r.cores} | ${heap(r)} | shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
     }.mkString("\n")
     val gates = pairs.map { case (a, b) =>
       val thrN = a.docs / a.narrowSec; val thr4 = b.docs / b.narrowSec

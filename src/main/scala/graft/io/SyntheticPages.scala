@@ -101,12 +101,19 @@ object SyntheticPages {
       val samples =
         if (rgb) graft.ocr.GlyphRender.toRgb(bmp)
         else if (variant % 10 == 0 && (variant / 10) % 2 == 0) {
+          // gradient span capped so any 96-px binarizer neighborhood sees
+          // ≤ 36 levels of background drift: < 40 keeps blank neighborhoods
+          // under the contrast floor, < 60 keeps ink/background separable
+          // by the local midpoint — exact recovery at ANY page width (a
+          // narrow fallback page with the full 110-level span would put
+          // left-margin background below the midpoint and read as garbage)
+          val span = math.min(110, (bmp.w - 1) * 3 / 8)
           val lit = new Array[Byte](bmp.gray.length)
           var y = 0
           while (y < bmp.h) {
             var x = 0
             while (x < bmp.w) {
-              val bg = 140 + x * 110 / math.max(1, bmp.w - 1)
+              val bg = 140 + x * span / math.max(1, bmp.w - 1)
               val i = y * bmp.w + x
               lit(i) = (if ((bmp.gray(i) & 0xFF) < 128) bg - 60 else bg).toByte
               x += 1

@@ -18,6 +18,9 @@ object ShowQuery {
     args.drop(1).foreach { q =>
       println(s"=== $q")
       graft.SparkEntry.queries(q)(spark, args(0)).show(50, truncate = false)
+      // SparkEntry cache contract: multi-query callers release each
+      // query's persisted scratch after materializing its result
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

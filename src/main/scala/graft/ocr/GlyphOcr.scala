@@ -311,10 +311,13 @@ object GlyphOcr {
     */
   def recognizeAutoScale(gray: Array[Byte], w: Int, h: Int,
                          maxScale: Int = 3): OcrResult = {
-    // descending k with early exit on a perfect pass: a downsampled try
-    // costs 1/k² of the full-resolution one, so a 3×-DPI page is settled
-    // by its cheapest pass and never pays the 9×-pixel k=1 recognize;
-    // a native-resolution page pays ~(1 + Σ 1/k²) ≈ 1.36× one pass
+    // descending k with early exit on a perfect pass OF ≥ 3 GLYPHS: a
+    // downsampled try costs 1/k² of the full-resolution one, so a 3×-DPI
+    // page is settled by its cheapest pass and never pays the 9×-pixel
+    // k=1 recognize; a native-resolution page pays ~(1 + Σ 1/k²) ≈ 1.36×
+    // one pass. The glyph floor keeps a decimated blob that flukes into
+    // one tiny template from short-circuiting the real pass; ties on
+    // (rate, glyphs) go to the smallest k (the ≥ replacement below).
     var best: OcrResult = null
     var k = maxScale
     while (k >= 1) {
@@ -335,9 +338,9 @@ object GlyphOcr {
             recognize(ds, wk, hk)
           }
         }
-      if (r.matchRate == 1.0 && r.glyphs > 0) return r
+      if (r.matchRate == 1.0 && r.glyphs >= 3) return r
       if (best == null || r.matchRate > best.matchRate ||
-          (r.matchRate == best.matchRate && r.glyphs > best.glyphs))
+          (r.matchRate == best.matchRate && r.glyphs >= best.glyphs))
         best = r
       k -= 1
     }

@@ -32,13 +32,18 @@ object Curation {
     val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
       .select("id_a", "id_b")
     // verified pairs are emitted with id_a < id_b, so id_b is the loser.
-    // localCheckpoint (eager) materializes the pair-cardinality loser set
-    // NOW, so the shingle scratch can be unpersisted before returning —
-    // curate never leaks a cached DataFrame into the caller's session.
+    // persist + count materializes the loser set NOW, so the fat shingle
+    // scratch can be unpersisted before returning. Deliberately NOT
+    // localCheckpoint: that stores unreplicated blocks AND truncates
+    // lineage, so one lost executor would make the caller's result
+    // unrecomputable — with persist the lineage survives and a lost block
+    // just re-tokenizes. What stays cached for the result's lifetime is
+    // only the slim distinct loser-id column, not the shingle sets.
     val losers = Dedup.ngramJaccardSets(cand, sh)
       .where(col("jaccard") >= dupTau)
       .select(col("id_b").as("loser_id")).distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
     sigs.unpersist()
     sh.unpersist()
 

@@ -65,22 +65,8 @@ object CcittTiff {
         case icm: java.awt.image.IndexColorModel
           if img.getType == BufferedImage.TYPE_BYTE_BINARY && icm.getMapSize >= 2 =>
           val d = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
-          val stride = (w + 7) / 8
-          if (d.length < stride.toLong * h) return None
           val white0 = (icm.getRed(0) & 0xFF) >= 128
-          val out = new Array[Byte](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val bit = (d(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
-              out(y * w + x) =
-                if ((bit == 0) == white0) 0xFF.toByte else 0x00.toByte
-              x += 1
-            }
-            y += 1
-          }
-          Some(out)
+          unpackBilevel(d, w, h, whiteWhenSet = !white0)
         case _ =>
           val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
           val g = gray.createGraphics()
@@ -96,6 +82,30 @@ object CcittTiff {
     * strips code independently, so a multi-strip image would NOT
     * concatenate into one valid PDF stream).
     */
+  /** Packed 1-bit rows (MSB-first, byte-aligned per row) → 8-bit luminance.
+    * `whiteWhenSet`: a 1 bit is white (0xFF); else a 0 bit is white. The
+    * single unpack loop shared by the G4 fast path and the PDF 1-bit /
+    * ImageMask raster path — stride/bit-order fixes land in one place.
+    */
+  def unpackBilevel(packed: Array[Byte], w: Int, h: Int,
+                    whiteWhenSet: Boolean): Option[Array[Byte]] = {
+    val stride = (w + 7) / 8
+    if (packed.length < stride.toLong * h) return None
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bit = (packed(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
+        out(y * w + x) =
+          if ((bit == 1) == whiteWhenSet) 0xFF.toByte else 0x00.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   def encodeG4(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val bin = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
     var y = 0

@@ -319,25 +319,11 @@ object PdfExtractor {
     }
   }
 
-  /** Packed 1-bit DeviceGray rows (MSB-first, byte-aligned per row) →
-    * 8-bit luminance: bit 1 = white (DeviceGray max), 0 = black.
+  /** Packed 1-bit DeviceGray rows → 8-bit luminance: bit 1 = white
+    * (DeviceGray max), 0 = black. Shared unpack loop in [[CcittTiff]].
     */
-  private def unpack1Bit(packed: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
-    val stride = (w + 7) / 8
-    if (packed.length < stride.toLong * h) return None
-    val out = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val bit = (packed(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
-        out(y * w + x) = if (bit == 1) 0xFF.toByte else 0x00.toByte
-        x += 1
-      }
-      y += 1
-    }
-    Some(out)
-  }
+  private def unpack1Bit(packed: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    CcittTiff.unpackBilevel(packed, w, h, whiteWhenSet = true)
 
   /** JPEG bytes → 8-bit luminance samples (None on decode failure or a
     * dict/JPEG dimension mismatch). Gray JPEGs pass through; color ones

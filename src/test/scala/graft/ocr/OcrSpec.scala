@@ -379,6 +379,28 @@ class OcrSpec extends AnyFunSuite {
     }
   }
 
+  test("narrow fallback page in the gradient-lighting corpus slice stays exact") {
+    // a doc whose words carry no letters/digits falls back to "SCAN <id>"
+    // (~50 px wide); with an uncapped 110-level gradient the whole page fits
+    // one binarizer neighborhood and left-margin background crosses the
+    // local midpoint — the span cap keeps recovery exact at any width
+    val spec = graft.io.SyntheticPages.pageFor(17L, "!!! ??? --- ...", "en")
+    val res = graft.pipeline.Kernel.extractOne(spec.payload)
+    assert(res.status == "processed")
+    assert(res.text == spec.golden, s"got '${res.text}' want '${spec.golden}'")
+  }
+
+  test("autoScale on a native-resolution page ties to k=1, never a decimated fluke") {
+    // a 1-glyph page: no early exit below 3 glyphs, and equal (rate, glyphs)
+    // ties must resolve to the smallest k — i.e. exactly what recognize sees
+    val one = GlyphRender.render(Vector("a"))
+    val auto = GlyphOcr.recognizeAutoScale(one.gray, one.w, one.h)
+    assert(auto.text == "a", s"got '${auto.text}'")
+    val full = GlyphRender.render(Vector("Native page, unscaled!"))
+    val a2 = GlyphOcr.recognizeAutoScale(full.gray, full.w, full.h)
+    assert(a2.text == GlyphOcr.recognize(full.gray, full.w, full.h).text)
+  }
+
   test("synthetic scanned corpus pages OCR back to their golden byte-exactly") {
     // ids cover variants 0-9: every raster encoding (Flate gray/RGB, JPEG
     // gray/RGB, CCITT G4), DPI scales 1/2/3, all skew/noise rotations;
