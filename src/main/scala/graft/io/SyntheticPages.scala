@@ -81,9 +81,12 @@ object SyntheticPages {
       // resolution (reference profiles 150/300/600); the recognizer
       // auto-detects the scale
       val dpiScale = (variant % 7) match { case 5 => 2; case 6 => 3; case _ => 1 }
+      // a quarter of the scans are typeset (proportional pitch) rather than
+      // typewriter fixed-pitch — the recognizer auto-detects which
       val bmp = graft.ocr.GlyphRender.upscale(
         graft.ocr.GlyphRender.render(lines, skew,
-          noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt), dpiScale)
+          noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt,
+          proportional = variant % 4 == 2), dpiScale)
       // raster encodings rotate through the real-world scanned-PDF filter
       // mix: Flate (gray + RGB), DCTDecode/JPEG (gray + RGB) and
       // CCITTFaxDecode G4 (bilevel) — all load-bearing in the golden gate

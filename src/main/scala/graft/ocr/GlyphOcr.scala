@@ -22,8 +22,11 @@ import GlyphFont._
   *      instead of Hough);
   *   3. line segmentation by row-projection bands (bands under 3 px are
   *      specks, dropped);
-  *   4. glyph segmentation by column runs inside each band; inter-run gaps
-  *      ≥ 5 columns are spaces (gap+2)/6 wide at the font's fixed pitch;
+  *   4. glyph segmentation by column runs inside each band; spacing is
+  *      pitch-mode aware: the page is detected as fixed-pitch (typewriter)
+  *      when every band's run starts fit a Pitch grid ± 2, else
+  *      proportional (typeset) — fixed infers round(Δstart/Pitch)−1 spaces,
+  *      proportional round((gap−PropGap)/PropSpace);
   *   5. template match against [[GlyphFont]], trimmed to the run's ink box;
   *      hamming distance ≤ 1 accepts (sound because every same-width
   *      template pair is ≥ 3 apart, spec-gated), else `?`.
@@ -214,39 +217,76 @@ object GlyphOcr {
       } else r += 1
     }
 
-    val sb = new java.lang.StringBuilder
-    var glyphs = 0
-    var matched = 0
-    bands.result().zipWithIndex.foreach { case ((top, bot), bi) =>
-      if (bi > 0) sb.append('\n')
+    // glyph runs per band (start, end columns), collected once — both the
+    // pitch-mode detection and the emit pass read them
+    val bandList = bands.result()
+    val runsPerBand: Vector[Vector[(Int, Int)]] = bandList.map { case (top, bot) =>
       @inline def colInk(x: Int): Boolean = {
         var rr = top
         while (rr <= bot) { if (grid(rr * w + x)) return true; rr += 1 }
         false
       }
-      // spaces by relative pitch: consecutive glyph STARTS sit at cell
-      // boundaries ± their in-cell start column (≤ 2, OcrSpec-gated), so
-      // round(Δstart / Pitch) is the exact cell distance and cells-1 the
-      // exact space count — robust to narrow punctuation, unlike a raw
-      // ink-gap threshold (a '.' before an 'I' would fake a space)
-      var prevStart = -1
+      val rs = Vector.newBuilder[(Int, Int)]
       var x = 0
       while (x < w) {
         if (colInk(x)) {
           var e = x
           while (e + 1 < w && colInk(e + 1)) e += 1
-          if (prevStart >= 0) {
-            var k = (2 * (x - prevStart) + Pitch) / (2 * Pitch) - 1 // round(Δ/Pitch)-1
-            while (k > 0) { sb.append(' '); k -= 1 }
-          }
-          sb.append(matchGlyph(grid, w, top, bot, x, e) match {
-            case Some(c) => matched += 1; c
-            case None => '?'
-          })
-          glyphs += 1
-          prevStart = x
+          rs += ((x, e))
           x = e + 1
         } else x += 1
+      }
+      rs.result()
+    }
+
+    // pitch-mode detection: a fixed-pitch (typewriter) page puts every run
+    // start on a Pitch grid ± the glyph's in-cell start column (≤ 2,
+    // OcrSpec-gated); proportional (typeset) layout walks off that grid as
+    // soon as trimmed widths vary. The page is fixed-pitch iff EVERY band
+    // fits some grid offset — one off-grid band flips the whole page, so
+    // long mixed text detects reliably. (A page whose every band happens to
+    // fit the grid — e.g. the single line "i i" — is read as fixed-pitch;
+    // for such degenerate pages the two interpretations differ only in
+    // space placement.)
+    val fixedPitch = runsPerBand.forall { rs =>
+      rs.length <= 1 || (0 to 2).exists { off =>
+        val phi = rs.head._1 - off
+        rs.forall { case (s, _) => s - phi >= 0 && (s - phi) % Pitch <= 2 }
+      }
+    }
+
+    val sb = new java.lang.StringBuilder
+    var glyphs = 0
+    var matched = 0
+    bandList.zipWithIndex.foreach { case ((top, bot), bi) =>
+      if (bi > 0) sb.append('\n')
+      var prevStart = -1
+      var prevEnd = -1
+      runsPerBand(bi).foreach { case (x, e) =>
+        if (prevStart >= 0) {
+          // fixed pitch: consecutive glyph STARTS sit at cell boundaries ±
+          // their in-cell start column, so round(Δstart / Pitch) is the
+          // exact cell distance and cells-1 the exact space count — robust
+          // to narrow punctuation, unlike a raw ink-gap threshold (a '.'
+          // before an 'I' would fake a space). Proportional: ink gaps are
+          // PropGap + n·PropSpace by construction, so round back to n.
+          var k =
+            if (fixedPitch)
+              (2 * (x - prevStart) + Pitch) / (2 * Pitch) - 1 // round(Δ/Pitch)-1
+            else {
+              val gap = x - prevEnd - 1
+              (2 * (gap - GlyphRender.PropGap) + GlyphRender.PropSpace) /
+                (2 * GlyphRender.PropSpace) // round((gap-PropGap)/PropSpace)
+            }
+          while (k > 0) { sb.append(' '); k -= 1 }
+        }
+        sb.append(matchGlyph(grid, w, top, bot, x, e) match {
+          case Some(c) => matched += 1; c
+          case None => '?'
+        })
+        glyphs += 1
+        prevStart = x
+        prevEnd = e
       }
     }
     OcrResult(sb.toString, glyphs, matched, bestSkew)

@@ -3,9 +3,10 @@ package graft.ocr
 import GlyphFont._
 
 /** Deterministic "scanner" for the synthetic corpus: rasterizes text lines
-  * with [[GlyphFont]] at fixed pitch, applies a vertical shear (the
-  * integer-exact stand-in for page skew) and salt-and-pepper specks in the
-  * inter-line gaps — the input class the reference feeds through
+  * with [[GlyphFont]] at fixed OR proportional pitch (typewriter vs.
+  * typeset — the recognizer auto-detects which), applies a vertical shear
+  * (the integer-exact stand-in for page skew) and salt-and-pepper specks in
+  * the inter-line gaps — the input class the reference feeds through
   * poppler+OpenCV+Tesseract (`ocr_adapters.py:49-76,170-258`). Pure
   * function of its arguments; every byte reproducible.
   */
@@ -48,8 +49,32 @@ object GlyphRender {
     Bitmap(out, w2, h2)
   }
 
+  /** Proportional-mode metrics: pen advances by the glyph's trimmed width
+    * plus `PropGap` blank columns; a space adds `PropSpace` more, so an
+    * inter-run ink gap is exactly `PropGap + n·PropSpace` for n spaces and
+    * the recognizer recovers n = round((gap − PropGap) / PropSpace).
+    */
+  val PropGap = 2
+  val PropSpace = 4
+
+  /** Pen advance of one line in proportional mode. */
+  def propAdvance(line: String): Int = {
+    var adv = 0
+    var k = 0
+    while (k < line.length) {
+      val c = line.charAt(k)
+      if (c == ' ') adv += PropSpace
+      else {
+        val (lo, hi) = trim(c)
+        if (hi >= lo) adv += (hi - lo + 1) + PropGap
+      }
+      k += 1
+    }
+    adv
+  }
+
   def render(lines: Seq[String], skew0: Double = 0.0, noiseSeed: Long = 0L,
-             noisePerGap: Int = 0): Bitmap = {
+             noisePerGap: Int = 0, proportional: Boolean = false): Bitmap = {
     // snap to the recognizer's candidate grid BIT-EXACTLY (the same Double,
     // not just the same value): round(s*x) flips at half-integer products,
     // so a slope differing in the last ulp would shear one pixel row apart
@@ -57,8 +82,13 @@ object GlyphRender {
     val skew =
       if (skew0 == 0.0) 0.0
       else GlyphOcr.SkewCandidates.minBy(c => math.abs(c - skew0))
-    val cols = math.max(1, if (lines.isEmpty) 1 else lines.map(_.length).max)
-    val w = 2 * Margin + cols * Pitch
+    val w =
+      if (proportional)
+        2 * Margin + math.max(Pitch, (lines.map(propAdvance) :+ 1).max)
+      else {
+        val cols = math.max(1, if (lines.isEmpty) 1 else lines.map(_.length).max)
+        2 * Margin + cols * Pitch
+      }
     val hl = 2 * Margin + math.max(lines.length, 1) * LinePitch
     val maxShift = shift(skew, w - 1)
     val base = math.max(0, -maxShift) // keep sheared y >= 0 for negative slopes
@@ -72,19 +102,46 @@ object GlyphRender {
 
     lines.zipWithIndex.foreach { case (line, li) =>
       val top = Margin + li * LinePitch
-      var k = 0
-      while (k < line.length) {
-        val c = line.charAt(k)
-        var row = 0
-        while (row < H) {
-          var col = 0
-          while (col < W) {
-            if (ink(c, col, row)) put(Margin + k * Pitch + col, top + row)
-            col += 1
+      if (proportional) {
+        // pen-based layout: draw the TRIMMED glyph at the pen (same trimmed
+        // shape the recognizer matches), advance by its width + PropGap
+        var pen = Margin
+        var k = 0
+        while (k < line.length) {
+          val c = line.charAt(k)
+          if (c == ' ') pen += PropSpace
+          else {
+            val (lo, hi) = trim(c)
+            if (hi >= lo) {
+              var row = 0
+              while (row < H) {
+                var col = lo
+                while (col <= hi) {
+                  if (ink(c, col, row)) put(pen + col - lo, top + row)
+                  col += 1
+                }
+                row += 1
+              }
+              pen += (hi - lo + 1) + PropGap
+            }
           }
-          row += 1
+          k += 1
         }
-        k += 1
+      } else {
+        var k = 0
+        while (k < line.length) {
+          val c = line.charAt(k)
+          var row = 0
+          while (row < H) {
+            var col = 0
+            while (col < W) {
+              if (ink(c, col, row)) put(Margin + k * Pitch + col, top + row)
+              col += 1
+            }
+            row += 1
+          }
+          k += 1
+        }
       }
     }
 

@@ -379,6 +379,52 @@ class OcrSpec extends AnyFunSuite {
     }
   }
 
+  test("proportional pitch: clean typeset render → exact recognition") {
+    val lines = Vector(
+      "Hello World, it's 2026!",
+      "the quick brown fox jumps",
+      "over the lazy dog? (yes)",
+      "iiii mmmm narrow and wide mix",
+      "punct: a.b c'd e-f \"g\" h;i")
+    val bmp = GlyphRender.render(lines, proportional = true)
+    val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
+    assert(r.matched == r.glyphs)
+  }
+
+  test("proportional pitch survives skew, specks, RGB and multi-DPI") {
+    val lines = Vector("Typeset invoice no. 42", "total due: 17.50 (net)")
+    Seq((0.025, 1), (-0.0375, 2), (0.0125, 3)).foreach { case (s, k) =>
+      val bmp = GlyphRender.upscale(
+        GlyphRender.render(lines, skew0 = s, noiseSeed = 31L, noisePerGap = 3,
+          proportional = true), k)
+      val gray = GlyphOcr.rgbToGray(GlyphRender.toRgb(bmp), bmp.w, bmp.h)
+      val r = GlyphOcr.recognizeAutoScale(gray, bmp.w, bmp.h)
+      assert(r.text == lines.mkString("\n"), s"skew $s scale $k: '${r.text}'")
+      assert(r.matchRate == 1.0)
+    }
+  }
+
+  test("pitch-mode detection: the same text reads exactly in both layouts") {
+    val lines = Vector("a.I x.1 a. .a", "mm ii '' i'i w,w", "both layouts agree")
+    Seq(false, true).foreach { prop =>
+      val bmp = GlyphRender.render(lines, proportional = prop)
+      val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+      assert(r.text == lines.mkString("\n"), s"proportional=$prop: '${r.text}'")
+    }
+  }
+
+  test("proportional scanned PDF end-to-end (JPEG raster)") {
+    val lines = Vector("Typeset jpeg scan!", "second line here")
+    val bmp = GlyphRender.render(lines, skew0 = 0.0125, noiseSeed = 23L,
+      noisePerGap = 2, proportional = true)
+    val pdf = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, dct = true)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.docType == "scanned")
+    assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
+    assert(doc.confidence == 100.0)
+  }
+
   test("narrow fallback page in the gradient-lighting corpus slice stays exact") {
     // a doc whose words carry no letters/digits falls back to "SCAN <id>"
     // (~50 px wide); with an uncapped 110-level gradient the whole page fits
