@@ -70,9 +70,10 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: a comma-decimal default locale would emit malformed JSON
+    def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    def f3(d: Double) = "%.3f".format(d)
     val total = f3(results.map(_._2).sum + extractSec + narrowSec)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
