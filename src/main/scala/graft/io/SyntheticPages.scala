@@ -82,11 +82,16 @@ object SyntheticPages {
       // auto-detects the scale
       val dpiScale = (variant % 7) match { case 5 => 2; case 6 => 3; case _ => 1 }
       // a quarter of the scans are typeset (proportional pitch) rather than
-      // typewriter fixed-pitch — the recognizer auto-detects which
+      // typewriter fixed-pitch, and half of those set in the bold face —
+      // the recognizer auto-detects pitch mode and typeface per page
+      val typeset = variant % 4 == 2
+      val face =
+        if (typeset && (variant / 4) % 2 == 1) graft.ocr.GlyphFont.Bold
+        else graft.ocr.GlyphFont.Base
       val bmp = graft.ocr.GlyphRender.upscale(
         graft.ocr.GlyphRender.render(lines, skew,
           noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt,
-          proportional = variant % 4 == 2), dpiScale)
+          proportional = typeset, face = face), dpiScale)
       // raster encodings rotate through the real-world scanned-PDF filter
       // mix: Flate (gray + RGB), DCTDecode/JPEG (gray + RGB) and
       // CCITTFaxDecode G4 (bilevel) — all load-bearing in the golden gate

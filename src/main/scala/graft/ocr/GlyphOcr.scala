@@ -54,24 +54,30 @@ object GlyphOcr {
     * x-height 'o' (5 rows) and a capital 'O' (7 rows) never compare, and a
     * run's bits are extracted relative to its OWN ink box, so the glyph's
     * vertical position inside the line band (ascender vs x-height vs
-    * punctuation row) cancels out.
+    * punctuation row) cancels out. One template set per [[GlyphFont.Face]];
+    * the page-level face pick happens after segmentation (the runs are
+    * face-independent, only matching differs).
     */
-  private val templates: Vector[(Char, Int, Int, Array[Int])] = Chars.map { c =>
-    val (lo, hi) = trim(c)
-    val (rlo, rhi) = rowTrim(c)
-    val width = hi - lo + 1
-    val height = rhi - rlo + 1
-    val colsBits = Array.tabulate(height) { r =>
-      var bits = 0
-      var col = lo
-      while (col <= hi) {
-        if (ink(c, col, rlo + r)) bits |= 1 << (col - lo)
-        col += 1
+  private def buildTemplates(face: GlyphFont.Face): Vector[(Char, Int, Int, Array[Int])] =
+    Chars.map { c =>
+      val (lo, hi) = face.trim(c)
+      val (rlo, rhi) = face.rowTrim(c)
+      val width = hi - lo + 1
+      val height = rhi - rlo + 1
+      val colsBits = Array.tabulate(height) { r =>
+        var bits = 0
+        var col = lo
+        while (col <= hi) {
+          if (face.ink(c, col, rlo + r)) bits |= 1 << (col - lo)
+          col += 1
+        }
+        bits
       }
-      bits
-    }
-    (c, width, height, colsBits)
-  }.toVector
+      (c, width, height, colsBits)
+    }.toVector
+
+  private val faceTemplates: Vector[(GlyphFont.Face, Vector[(Char, Int, Int, Array[Int])])] =
+    GlyphFont.Faces.map(f => (f, buildTemplates(f)))
 
   /** Tile edge for adaptive binarization (power of two: tile index is a
     * shift). 32 px ≫ glyph size (W×H ≤ 16×16) and ≪ page size, so a 3×3
@@ -255,10 +261,26 @@ object GlyphOcr {
       }
     }
 
+    // face selection: match every run against each face's template set and
+    // keep the face that reads the most glyphs (ties → earliest face, i.e.
+    // Base). Segmentation is face-independent, so the extra face costs only
+    // a template pass over the page's few dozen runs, not an image pass.
+    val flatRuns: Vector[(Int, Int, Int, Int)] =
+      bandList.zipWithIndex.flatMap { case ((top, bot), bi) =>
+        runsPerBand(bi).map { case (x, e) => (top, bot, x, e) }
+      }
+    val matchedChars: Vector[Option[Char]] = faceTemplates
+      .map { case (face, ts) =>
+        flatRuns.map { case (top, bot, x, e) =>
+          matchGlyph(grid, w, top, bot, x, e, ts, face.width)
+        }
+      }
+      .maxBy(_.count(_.isDefined))
+    val matched = matchedChars.count(_.isDefined)
+
     val sb = new java.lang.StringBuilder
     var glyphs = 0
-    var matched = 0
-    bandList.zipWithIndex.foreach { case ((top, bot), bi) =>
+    bandList.zipWithIndex.foreach { case ((_, _), bi) =>
       if (bi > 0) sb.append('\n')
       var prevStart = -1
       var prevEnd = -1
@@ -280,10 +302,7 @@ object GlyphOcr {
             }
           while (k > 0) { sb.append(' '); k -= 1 }
         }
-        sb.append(matchGlyph(grid, w, top, bot, x, e) match {
-          case Some(c) => matched += 1; c
-          case None => '?'
-        })
+        sb.append(matchedChars(glyphs).getOrElse('?'))
         glyphs += 1
         prevStart = x
         prevEnd = e
@@ -299,9 +318,11 @@ object GlyphOcr {
     * glyph. Ties: lowest char wins (deterministic).
     */
   private def matchGlyph(grid: Array[Boolean], w: Int, top: Int, bot: Int,
-                         x0: Int, x1: Int): Option[Char] = {
+                         x0: Int, x1: Int,
+                         templates: Vector[(Char, Int, Int, Array[Int])],
+                         maxW: Int): Option[Char] = {
     val width = x1 - x0 + 1
-    if (width > W) return None
+    if (width > maxW) return None
     // run's own ink-row bounding box (vertical trim, mirroring the templates)
     var rTop = -1; var rBot = -1
     var r = top

@@ -58,14 +58,14 @@ object GlyphRender {
   val PropSpace = 4
 
   /** Pen advance of one line in proportional mode. */
-  def propAdvance(line: String): Int = {
+  def propAdvance(line: String, face: GlyphFont.Face = GlyphFont.Base): Int = {
     var adv = 0
     var k = 0
     while (k < line.length) {
       val c = line.charAt(k)
       if (c == ' ') adv += PropSpace
       else {
-        val (lo, hi) = trim(c)
+        val (lo, hi) = face.trim(c)
         if (hi >= lo) adv += (hi - lo + 1) + PropGap
       }
       k += 1
@@ -74,7 +74,12 @@ object GlyphRender {
   }
 
   def render(lines: Seq[String], skew0: Double = 0.0, noiseSeed: Long = 0L,
-             noisePerGap: Int = 0, proportional: Boolean = false): Bitmap = {
+             noisePerGap: Int = 0, proportional: Boolean = false,
+             face: GlyphFont.Face = GlyphFont.Base): Bitmap = {
+    // bold glyphs are as wide as the fixed-pitch cell (zero gap would merge
+    // adjacent runs), so non-base faces render proportionally only
+    require((face eq GlyphFont.Base) || proportional,
+      s"face ${face.name} requires proportional layout")
     // snap to the recognizer's candidate grid BIT-EXACTLY (the same Double,
     // not just the same value): round(s*x) flips at half-integer products,
     // so a slope differing in the last ulp would shear one pixel row apart
@@ -84,7 +89,7 @@ object GlyphRender {
       else GlyphOcr.SkewCandidates.minBy(c => math.abs(c - skew0))
     val w =
       if (proportional)
-        2 * Margin + math.max(Pitch, (lines.map(propAdvance) :+ 1).max)
+        2 * Margin + math.max(Pitch, (lines.map(propAdvance(_, face)) :+ 1).max)
       else {
         val cols = math.max(1, if (lines.isEmpty) 1 else lines.map(_.length).max)
         2 * Margin + cols * Pitch
@@ -111,13 +116,13 @@ object GlyphRender {
           val c = line.charAt(k)
           if (c == ' ') pen += PropSpace
           else {
-            val (lo, hi) = trim(c)
+            val (lo, hi) = face.trim(c)
             if (hi >= lo) {
               var row = 0
               while (row < H) {
                 var col = lo
                 while (col <= hi) {
-                  if (ink(c, col, row)) put(pen + col - lo, top + row)
+                  if (face.ink(c, col, row)) put(pen + col - lo, top + row)
                   col += 1
                 }
                 row += 1

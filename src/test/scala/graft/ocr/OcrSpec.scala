@@ -5,19 +5,25 @@ import graft.ocr.GlyphFont._
 
 class OcrSpec extends AnyFunSuite {
 
-  test("font: same-(w,h)-class trimmed templates are pairwise distinct (hamming ≥ 3)") {
+  test("every face: same-(w,h)-class trimmed templates pairwise distinct (hamming ≥ 3)") {
     // nearest-template matching at accept-threshold 1 is sound iff no two
     // glyphs of equal trimmed width AND height are within 2 bit flips: a
-    // ≤1-bit corruption is then strictly nearest to the true glyph
-    val ts = Chars.map { c =>
-      val (lo, hi) = trim(c)
-      val (rlo, rhi) = rowTrim(c)
-      val bits = for (row <- rlo to rhi; col <- lo to hi) yield ink(c, col, row)
-      (c, hi - lo + 1, rhi - rlo + 1, bits)
-    }
-    for (a <- ts; b <- ts if a._1 < b._1 && a._2 == b._2 && a._3 == b._3) {
-      val d = a._4.zip(b._4).count { case (x, y) => x != y }
-      assert(d >= 3, s"glyphs ${a._1}/${b._1} (${a._2}x${a._3}) too close: hamming $d")
+    // ≤1-bit corruption is then strictly nearest to the true glyph. Gated
+    // per face — the bold derivation needs its M-counter override exactly
+    // because plain dilation broke this for M/N
+    GlyphFont.Faces.foreach { face =>
+      val ts = Chars.map { c =>
+        val (lo, hi) = face.trim(c)
+        val (rlo, rhi) = face.rowTrim(c)
+        val bits =
+          for (row <- rlo to rhi; col <- lo to hi) yield face.ink(c, col, row)
+        (c, hi - lo + 1, rhi - rlo + 1, bits)
+      }
+      for (a <- ts; b <- ts if a._1 < b._1 && a._2 == b._2 && a._3 == b._3) {
+        val d = a._4.zip(b._4).count { case (x, y) => x != y }
+        assert(d >= 3,
+          s"${face.name} glyphs ${a._1}/${b._1} (${a._2}x${a._3}) too close: hamming $d")
+      }
     }
   }
 
@@ -405,6 +411,40 @@ class OcrSpec extends AnyFunSuite {
     }
   }
 
+  test("bold face: clean typeset render → exact recognition") {
+    val lines = Vector(
+      "Bold Headline, 2026!",
+      "the quick brown fox jumps",
+      "iiii mmmm NARROW and WIDE",
+      "punct: a.b c'd e-f \"g\" h;i")
+    val bmp = GlyphRender.render(lines, proportional = true, face = GlyphFont.Bold)
+    val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
+    assert(r.matched == r.glyphs)
+  }
+
+  test("bold face survives skew, specks and a JPEG scanned PDF end-to-end") {
+    val lines = Vector("Bold jpeg scan no. 9", "second line (net)")
+    val bmp = GlyphRender.render(lines, skew0 = -0.025, noiseSeed = 41L,
+      noisePerGap = 3, proportional = true, face = GlyphFont.Bold)
+    val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+    assert(r.text == lines.mkString("\n"), s"raw: '${r.text}'")
+    val pdf = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, dct = true)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.text == lines.mkString("\n"), s"pdf: '${doc.text}'")
+    assert(doc.confidence == 100.0)
+  }
+
+  test("face detection: the same text reads exactly in base and bold faces") {
+    val lines = Vector("Mixed M N W watchwords", "minimum nominal wins")
+    GlyphFont.Faces.foreach { face =>
+      val bmp = GlyphRender.render(lines, proportional = true, face = face)
+      val r = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+      assert(r.text == lines.mkString("\n"), s"${face.name}: '${r.text}'")
+      assert(r.matchRate == 1.0, s"${face.name} rate ${r.matchRate}")
+    }
+  }
+
   test("pitch-mode detection: the same text reads exactly in both layouts") {
     val lines = Vector("a.I x.1 a. .a", "mm ii '' i'i w,w", "both layouts agree")
     Seq(false, true).foreach { prop =>
@@ -451,9 +491,10 @@ class OcrSpec extends AnyFunSuite {
     // ids cover variants 0-9: every raster encoding (Flate gray/RGB, JPEG
     // gray/RGB, CCITT G4), DPI scales 1/2/3, all skew/noise rotations;
     // 517/1017 are the gray-Flate lighting variants (faded low-contrast at
-    // variant 10, illumination gradient at 3×-DPI variant 20)
+    // variant 10, illumination gradient at 3×-DPI variant 20); 317 is bold
+    // typeset at 3×-DPI Flate-RGB and 717 bold typeset as JPEG-RGB
     val ids = Seq(17L, 67L, 117L, 167L, 217L, 267L, 317L, 367L, 417L, 467L,
-      517L, 1017L)
+      517L, 717L, 1017L)
     ids.foreach { id =>
       val spec = graft.io.SyntheticPages.pageFor(id,
         "palabras de prueba numero " + id + " con mas contenido util aqui", "es")
