@@ -160,7 +160,7 @@ object PdfExtractor {
   }
 
   /** Walk the catalog page tree; fall back to file-order /Type /Page scan. */
-  private def findPages(objs: Objects): Vector[PDict] = {
+  private[graft] def findPages(objs: Objects): Vector[PDict] = {
     val catalogPages: Option[PVal] = objs.byNum.values.collectFirst {
       case d: PDict if objs.name(d.m.getOrElse("Type", PNull)).contains("Catalog") &&
         d.m.contains("Pages") => d.m("Pages")
@@ -194,7 +194,7 @@ object PdfExtractor {
   }
 
   /** Concatenate a page's /Contents streams (single ref or array). */
-  private def contentBytes(page: PDict, objs: Objects): Either[String, Array[Byte]] = {
+  private[graft] def contentBytes(page: PDict, objs: Objects): Either[String, Array[Byte]] = {
     val contents = page.m.getOrElse("Contents", PNull)
     val streams: Vector[PStream] = objs.resolve(contents) match {
       case s: PStream => Vector(s)

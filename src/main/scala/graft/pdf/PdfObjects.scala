@@ -428,6 +428,27 @@ object PdfObjects {
   final class Parser(bytes: Array[Byte], var pos: Int) {
     private val n = bytes.length
 
+    // reusable scratch for string parsing (replaces a ByteArrayOutputStream
+    // per string token — strings are the most numerous allocation on the
+    // content-stream hot path). Lazily sized; strings complete before the
+    // next token starts, so serial reuse is safe even under dict nesting.
+    private var strBuf: Array[Byte] = null
+    private var strLen = 0
+    @inline private def sput(b: Int): Unit = {
+      if (strBuf == null) strBuf = new Array[Byte](64)
+      else if (strLen == strBuf.length)
+        strBuf = java.util.Arrays.copyOf(strBuf, strLen * 2)
+      strBuf(strLen) = b.toByte
+      strLen += 1
+    }
+    @inline private def strTake(): Array[Byte] = {
+      val r =
+        if (strBuf == null || strLen == 0) Array.emptyByteArray
+        else java.util.Arrays.copyOf(strBuf, strLen)
+      strLen = 0
+      r
+    }
+
     def skipWs(): Unit = {
       var go = true
       while (go && pos < n) {
@@ -546,21 +567,20 @@ object PdfObjects {
 
     def parseLiteralString(): PStr = {
       pos += 1 // '('
-      val out = new java.io.ByteArrayOutputStream
       var depth = 1
       while (pos < n && depth > 0) {
         val b = bytes(pos) & 0xFF
         if (b == '\\' && pos + 1 < n) {
           val e = bytes(pos + 1) & 0xFF
           e match {
-            case 'n' => out.write('\n'); pos += 2
-            case 'r' => out.write('\r'); pos += 2
-            case 't' => out.write('\t'); pos += 2
-            case 'b' => out.write('\b'); pos += 2
-            case 'f' => out.write('\f'); pos += 2
-            case '(' => out.write('('); pos += 2
-            case ')' => out.write(')'); pos += 2
-            case '\\' => out.write('\\'); pos += 2
+            case 'n' => sput('\n'); pos += 2
+            case 'r' => sput('\r'); pos += 2
+            case 't' => sput('\t'); pos += 2
+            case 'b' => sput('\b'); pos += 2
+            case 'f' => sput('\f'); pos += 2
+            case '(' => sput('('); pos += 2
+            case ')' => sput(')'); pos += 2
+            case '\\' => sput('\\'); pos += 2
             case '\r' => // line continuation
               pos += 2; if (pos < n && bytes(pos) == '\n') pos += 1
             case '\n' => pos += 2
@@ -569,19 +589,18 @@ object PdfObjects {
               while (k < 3 && pos < n && bytes(pos) >= '0' && bytes(pos) <= '7') {
                 v = v * 8 + (bytes(pos) - '0'); pos += 1; k += 1
               }
-              out.write(v & 0xFF)
-            case _ => out.write(e); pos += 2
+              sput(v & 0xFF)
+            case _ => sput(e); pos += 2
           }
-        } else if (b == '(') { depth += 1; out.write(b); pos += 1 }
-        else if (b == ')') { depth -= 1; if (depth > 0) out.write(b); pos += 1 }
-        else { out.write(b); pos += 1 }
+        } else if (b == '(') { depth += 1; sput(b); pos += 1 }
+        else if (b == ')') { depth -= 1; if (depth > 0) sput(b); pos += 1 }
+        else { sput(b); pos += 1 }
       }
-      PStr(out.toByteArray)
+      PStr(strTake())
     }
 
     def parseHexString(): PStr = {
       pos += 1 // '<'
-      val out = new java.io.ByteArrayOutputStream
       var hi = -1
       var done = false
       while (!done && pos < n) {
@@ -591,13 +610,13 @@ object PdfObjects {
           val d = Character.digit(b, 16)
           if (d >= 0) {
             if (hi < 0) hi = d
-            else { out.write((hi << 4) | d); hi = -1 }
+            else { sput((hi << 4) | d); hi = -1 }
           }
           pos += 1
         }
       }
-      if (hi >= 0) out.write(hi << 4) // odd digit: pad 0
-      PStr(out.toByteArray)
+      if (hi >= 0) sput(hi << 4) // odd digit: pad 0
+      PStr(strTake())
     }
 
     /** If a `stream` keyword follows a dict, attach the payload. */

@@ -30,25 +30,73 @@ object SpanLayout {
   private[pdf] def lineGroups(raw: Vector[RawSpan]): Vector[Vector[(RawSpan, Int)]] = {
     if (raw.isEmpty) return Vector.empty
 
-    val ys = raw.map(_.y).distinct.sorted(Ordering.Double.TotalOrdering.reverse)
-    val tol = {
-      val gaps = ys.sliding(2).collect { case Vector(a, b) => a - b }.filter(_ > 0).toVector.sorted
-      if (gaps.isEmpty) 0.0 else gaps(gaps.length / 2) / 2.0
+    // primitive-array implementation (this runs 2-3× per page: text layout,
+    // table detection, rule-grid assignment — no boxed Double maps, no
+    // per-window sliding Vectors). Ordering semantics are Double.compare
+    // (total order, the same the boxed TotalOrdering version used).
+    val ysAll = new Array[Double](raw.length)
+    var i = 0
+    while (i < raw.length) { ysAll(i) = raw(i).y; i += 1 }
+    java.util.Arrays.sort(ysAll) // ascending, total order
+    // distinct in place (Double.compare equality: NaNs collapse, ±0 stay apart)
+    var nys = 0
+    i = 0
+    while (i < ysAll.length) {
+      if (nys == 0 || java.lang.Double.compare(ysAll(nys - 1), ysAll(i)) != 0) {
+        ysAll(nys) = ysAll(i); nys += 1
+      }
+      i += 1
     }
-    // group ys into lines
-    val lineOfY = scala.collection.mutable.Map.empty[Double, Int]
-    var line = 0
-    var prev = Double.NaN
-    ys.foreach { y =>
-      if (!prev.isNaN && (prev - y) > tol) line += 1
-      lineOfY(y) = line
-      prev = y
-    }
+    val ysAsc = if (nys == ysAll.length) ysAll else java.util.Arrays.copyOf(ysAll, nys)
 
-    raw.zipWithIndex
-      .groupBy { case (s, _) => lineOfY(s.y) }
-      .toVector.sortBy(_._1)
-      .map(_._2)
+    // median positive gap over the descending-distinct sequence = same gaps
+    // ascending reversed; collect positive gaps and sort
+    val gaps = new Array[Double](math.max(1, nys - 1))
+    var ng = 0
+    i = 1
+    while (i < nys) {
+      val g = ysAsc(i) - ysAsc(i - 1)
+      if (g > 0) { gaps(ng) = g; ng += 1 }
+      i += 1
+    }
+    val tol =
+      if (ng == 0) 0.0
+      else { java.util.Arrays.sort(gaps, 0, ng); gaps(ng / 2) / 2.0 }
+
+    // line ids over descending ys: walking ysAsc from the top down
+    val lineIdAsc = new Array[Int](nys)
+    var line = 0
+    i = nys - 1
+    lineIdAsc(i) = 0
+    while (i > 0) {
+      if (ysAsc(i) - ysAsc(i - 1) > tol) line += 1
+      lineIdAsc(i - 1) = line
+      i -= 1
+    }
+    val nLines = line + 1
+
+    // bucket spans by line id, preserving stream order within a line
+    val counts = new Array[Int](nLines)
+    val lineOf = new Array[Int](raw.length)
+    i = 0
+    while (i < raw.length) {
+      var idx = java.util.Arrays.binarySearch(ysAsc, 0, nys, raw(i).y)
+      if (idx < 0) idx = math.min(nys - 1, math.max(0, -idx - 1)) // NaN ties
+      lineOf(i) = lineIdAsc(idx)
+      counts(lineOf(i)) += 1
+      i += 1
+    }
+    val builders = Array.tabulate(nLines) { li =>
+      val b = Vector.newBuilder[(RawSpan, Int)]
+      b.sizeHint(counts(li))
+      b
+    }
+    i = 0
+    while (i < raw.length) {
+      builders(lineOf(i)) += ((raw(i), i))
+      i += 1
+    }
+    Vector.tabulate(nLines)(li => builders(li).result())
   }
 
   def layoutPage(pageIdx: Int, raw: Vector[RawSpan], charBase: Int): PageText = {
@@ -59,18 +107,42 @@ object SpanLayout {
     val sb = new java.lang.StringBuilder
     val spans = Vector.newBuilder[SpanRow]
     var off = charBase
-    byLine.zipWithIndex.foreach { case (members, li) =>
+    var li = 0
+    while (li < byLine.length) {
+      val members = byLine(li)
       if (li > 0) { sb.append('\n'); off += 1 }
-      // stable sort by x keeps stream order for identical positions
-      val sorted = members.sortBy { case (s, i) => (s.x, i) }
+      // stable insertion sort by x keeps stream order for identical
+      // positions (members arrive in stream order; lines are short) — the
+      // boxed sortBy-on-(Double, Int)-tuples this replaces was a per-line
+      // allocation hot spot
+      val order = new Array[Int](members.length)
+      var i = 0
+      while (i < members.length) { order(i) = i; i += 1 }
+      i = 1
+      while (i < members.length) {
+        val v = order(i)
+        val vx = members(v)._1.x
+        var j = i - 1
+        // Double.compare, not primitive > : keeps the replaced Ordering's
+        // total-order semantics (NaN last, -0.0 before 0.0) bit-for-bit
+        while (j >= 0 && java.lang.Double.compare(members(order(j))._1.x, vx) > 0) {
+          order(j + 1) = order(j); j -= 1
+        }
+        order(j + 1) = v
+        i += 1
+      }
       var lastX = Double.NaN
-      sorted.foreach { case (s, _) =>
+      i = 0
+      while (i < order.length) {
+        val s = members(order(i))._1
         if (!lastX.isNaN && s.x != lastX) { sb.append(' '); off += 1 }
         spans += SpanRow(pageIdx, off, s.text.length)
         sb.append(s.text)
         off += s.text.length
         lastX = s.x
+        i += 1
       }
+      li += 1
     }
     PageText(sb.toString, spans.result())
   }

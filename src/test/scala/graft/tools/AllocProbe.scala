@@ -41,6 +41,26 @@ object AllocProbe {
         probe(s"$tag-kernel")(graft.pipeline.Kernel.extractOne(d.payload))
         probe(s"$tag-objs")(graft.pdf.PdfObjects.parseAll(d.payload))
         probe(s"$tag-full")(graft.pdf.PdfExtractor.extract(d.payload))
+        // stage split inside extract: content decode, fonts, tokenize+run
+        val objs = graft.pdf.PdfObjects.parseAll(d.payload)
+        val pages = graft.pdf.PdfExtractor.findPages(objs)
+        val contents = pages.map(p =>
+          graft.pdf.PdfExtractor.contentBytes(p, objs).getOrElse(Array.empty[Byte]))
+        val fonts = pages.map(p => graft.pdf.FontDecode.fontsFor(p, objs))
+        probe(s"$tag-content")(pages.map(p =>
+          graft.pdf.PdfExtractor.contentBytes(p, objs)))
+        probe(s"$tag-fonts")(pages.map(p => graft.pdf.FontDecode.fontsFor(p, objs)))
+        probe(s"$tag-csrun")(contents.zip(fonts).map { case (c, f) =>
+          graft.pdf.ContentStream.run(c, f) })
+        val opsPerPage = contents.zip(fonts).map { case (c, f) =>
+          graft.pdf.ContentStream.run(c, f) }
+        probe(s"$tag-layout")(opsPerPage.map(o =>
+          graft.pdf.SpanLayout.layoutPage(0, o.spans, 0)))
+        probe(s"$tag-tables")(opsPerPage.map { o =>
+          val ruled = graft.pdf.RuleGrid.detect(o.rules, o.spans)
+          graft.pdf.TableGrid.detect(o.spans)
+          ruled.length
+        })
       }
     }
   }
