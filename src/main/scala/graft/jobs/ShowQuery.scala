@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
 object ShowQuery {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ShowQuery <sfDir> <query> [query...]")
+    val unknown = args.drop(1).filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}; " +
+      s"valid: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")

@@ -23,10 +23,11 @@ import GlyphFont._
   *   3. line segmentation by row-projection bands (bands under 3 px are
   *      specks, dropped);
   *   4. glyph segmentation by column runs inside each band; spacing is
-  *      pitch-mode aware: the page is detected as fixed-pitch (typewriter)
-  *      when every band's run starts fit a Pitch grid ± 2, else
-  *      proportional (typeset) — fixed infers round(Δstart/Pitch)−1 spaces,
-  *      proportional round((gap−PropGap)/PropSpace);
+  *      pitch-mode aware: the page is fixed-pitch (typewriter) when the
+  *      MAJORITY of its multi-run bands fit a Pitch grid ± 2 (ties →
+  *      fixed), else proportional (typeset) — fixed infers
+  *      round(Δstart/Pitch)−1 spaces, proportional
+  *      round((gap−PropGap)/PropSpace);
   *   5. template match against [[GlyphFont]], trimmed to the run's ink box;
   *      hamming distance ≤ 1 accepts (sound because every same-width
   *      template pair is ≥ 3 apart, spec-gated), else `?`.
@@ -248,17 +249,25 @@ object GlyphOcr {
     // pitch-mode detection: a fixed-pitch (typewriter) page puts every run
     // start on a Pitch grid ± the glyph's in-cell start column (≤ 2,
     // OcrSpec-gated); proportional (typeset) layout walks off that grid as
-    // soon as trimmed widths vary. The page is fixed-pitch iff EVERY band
-    // fits some grid offset — one off-grid band flips the whole page, so
-    // long mixed text detects reliably. (A page whose every band happens to
-    // fit the grid — e.g. the single line "i i" — is read as fixed-pitch;
-    // for such degenerate pages the two interpretations differ only in
-    // space placement.)
-    val fixedPitch = runsPerBand.forall { rs =>
-      rs.length <= 1 || (0 to 2).exists { off =>
-        val phi = rs.head._1 - off
-        rs.forall { case (s, _) => s - phi >= 0 && (s - phi) % Pitch <= 2 }
+    // soon as trimmed widths vary. The page votes by MAJORITY of its
+    // multi-run bands (ties → fixed): majority is robust both ways — one
+    // noise blob at an off-grid column inside a text band cannot flip a
+    // fixed-pitch page to proportional spacing (the blob reads '?' locally,
+    // spacing stays right page-wide), and one short grid-coincident line
+    // (e.g. "i i") cannot flip a typeset page to fixed spacing.
+    val fixedPitch = {
+      var fits = 0
+      var off = 0
+      runsPerBand.foreach { rs =>
+        if (rs.length > 1) {
+          val ok = (0 to 2).exists { o =>
+            val phi = rs.head._1 - o
+            rs.forall { case (s, _) => s - phi >= 0 && (s - phi) % Pitch <= 2 }
+          }
+          if (ok) fits += 1 else off += 1
+        }
       }
+      fits >= off
     }
 
     // face selection: match every run against each face's template set and
@@ -377,8 +386,13 @@ object GlyphOcr {
     // page is settled by its cheapest pass and never pays the 9×-pixel
     // k=1 recognize; a native-resolution page pays ~(1 + Σ 1/k²) ≈ 1.36×
     // one pass. The glyph floor keeps a decimated blob that flukes into
-    // one tiny template from short-circuiting the real pass; ties on
-    // (rate, glyphs) go to the smallest k (the ≥ replacement below).
+    // one tiny template from short-circuiting the real pass. Ties on
+    // (rate, glyphs): prefer the k=1 interpretation — a perfect k=1 read
+    // cannot be a decimation artifact (it sees the actual pixels, and
+    // higher-DPI glyphs exceed the template width so they can't fake it) —
+    // while among decimated candidates the larger k, seen first, stands
+    // (replacing it with a smaller-k tie would trade a true 3× read for a
+    // k=2 fluke).
     var best: OcrResult = null
     var k = maxScale
     while (k >= 1) {
@@ -401,7 +415,8 @@ object GlyphOcr {
         }
       if (r.matchRate == 1.0 && r.glyphs >= 3) return r
       if (best == null || r.matchRate > best.matchRate ||
-          (r.matchRate == best.matchRate && r.glyphs >= best.glyphs))
+          (r.matchRate == best.matchRate &&
+            (r.glyphs > best.glyphs || (r.glyphs == best.glyphs && k == 1))))
         best = r
       k -= 1
     }

@@ -99,6 +99,30 @@ object SpanLayout {
     Vector.tabulate(nLines)(li => builders(li).result())
   }
 
+  /** Stable insertion-sort permutation of `members` by span x: stability
+    * plus stream-ordered input == the boxed sortBy-on-(x, streamIdx) this
+    * replaced; Double.compare keeps its total-order (NaN last, −0.0 < 0.0)
+    * semantics. One implementation — text layout and table-cell assembly
+    * must never order the same line differently.
+    */
+  private[pdf] def sortByXStable(members: Vector[(RawSpan, Int)]): Array[Int] = {
+    val order = new Array[Int](members.length)
+    var i = 0
+    while (i < members.length) { order(i) = i; i += 1 }
+    i = 1
+    while (i < members.length) {
+      val v = order(i)
+      val vx = members(v)._1.x
+      var j = i - 1
+      while (j >= 0 && java.lang.Double.compare(members(order(j))._1.x, vx) > 0) {
+        order(j + 1) = order(j); j -= 1
+      }
+      order(j + 1) = v
+      i += 1
+    }
+    order
+  }
+
   def layoutPage(pageIdx: Int, raw: Vector[RawSpan], charBase: Int): PageText = {
     if (raw.isEmpty) return PageText("", Vector.empty)
 
@@ -111,28 +135,9 @@ object SpanLayout {
     while (li < byLine.length) {
       val members = byLine(li)
       if (li > 0) { sb.append('\n'); off += 1 }
-      // stable insertion sort by x keeps stream order for identical
-      // positions (members arrive in stream order; lines are short) — the
-      // boxed sortBy-on-(Double, Int)-tuples this replaces was a per-line
-      // allocation hot spot
-      val order = new Array[Int](members.length)
-      var i = 0
-      while (i < members.length) { order(i) = i; i += 1 }
-      i = 1
-      while (i < members.length) {
-        val v = order(i)
-        val vx = members(v)._1.x
-        var j = i - 1
-        // Double.compare, not primitive > : keeps the replaced Ordering's
-        // total-order semantics (NaN last, -0.0 before 0.0) bit-for-bit
-        while (j >= 0 && java.lang.Double.compare(members(order(j))._1.x, vx) > 0) {
-          order(j + 1) = order(j); j -= 1
-        }
-        order(j + 1) = v
-        i += 1
-      }
+      val order = sortByXStable(members)
       var lastX = Double.NaN
-      i = 0
+      var i = 0
       while (i < order.length) {
         val s = members(order(i))._1
         if (!lastX.isNaN && s.x != lastX) { sb.append(' '); off += 1 }

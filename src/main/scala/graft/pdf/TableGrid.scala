@@ -71,22 +71,7 @@ object TableGrid {
     var nonEmpty = 0
     val data: Vector[Vector[String]] = lines.map { members =>
       val cells = Array.fill(cols.length)("")
-      // stable insertion sort by x on an index array (members arrive in
-      // stream order, so stability == the old sortBy-(x, idx) tuples);
-      // Double.compare keeps that ordering's NaN/±0 semantics
-      val order = Array.range(0, members.length)
-      var i = 1
-      while (i < order.length) {
-        val v = order(i)
-        val vx = members(v)._1.x
-        var j = i - 1
-        while (j >= 0 && java.lang.Double.compare(members(order(j))._1.x, vx) > 0) {
-          order(j + 1) = order(j); j -= 1
-        }
-        order(j + 1) = v
-        i += 1
-      }
-      order.foreach { oi =>
+      SpanLayout.sortByXStable(members).foreach { oi =>
         val s = members(oi)._1
         val c = java.util.Arrays.binarySearch(cols, qcol(s.x))
         cells(c) = if (cells(c).isEmpty) s.text else cells(c) + " " + s.text

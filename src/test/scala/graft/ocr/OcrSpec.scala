@@ -445,6 +445,27 @@ class OcrSpec extends AnyFunSuite {
     }
   }
 
+  test("one off-grid noise blob cannot flip a fixed-pitch page to typeset spacing") {
+    // a 3-row blob at an off-grid column INSIDE band 0 (survives speck
+    // rejection, reads '?'): pitch-mode majority vote keeps the page fixed,
+    // so every other band's word spacing stays exact — the all-or-nothing
+    // page flip would read "EF GH" as "EFGH" (typeset gap rule on
+    // fixed-pitch geometry)
+    val lines = Vector("AB CD", "EF GH", "IJ KL")
+    val bmp = GlyphRender.render(lines)
+    val blobX = GlyphRender.Margin + 15 // 15 % 6 = 3: off-grid beyond ±2
+    val top = GlyphRender.Margin
+    for (r <- top + 2 to top + 4) bmp.gray(r * bmp.w + blobX) = 0x00.toByte
+    val res = GlyphOcr.recognize(bmp.gray, bmp.w, bmp.h)
+    val got = res.text.split("\n", -1)
+    assert(got.length == 3, s"got '${res.text}'")
+    assert(got(1) == "EF GH" && got(2) == "IJ KL",
+      s"clean bands corrupted: '${res.text}'")
+    assert(got(0).contains("?") && got(0).filterNot(c => c == '?' || c == ' ') == "ABCD",
+      s"blob band: '${got(0)}'")
+    assert(res.matched == res.glyphs - 1) // everything but the blob reads
+  }
+
   test("pitch-mode detection: the same text reads exactly in both layouts") {
     val lines = Vector("a.I x.1 a. .a", "mm ii '' i'i w,w", "both layouts agree")
     Seq(false, true).foreach { prop =>
@@ -492,9 +513,12 @@ class OcrSpec extends AnyFunSuite {
     // gray/RGB, CCITT G4), DPI scales 1/2/3, all skew/noise rotations;
     // 517/1017 are the gray-Flate lighting variants (faded low-contrast at
     // variant 10, illumination gradient at 3×-DPI variant 20); 317 is bold
-    // typeset at 3×-DPI Flate-RGB and 717 bold typeset as JPEG-RGB
+    // typeset gray-Flate at 3×-DPI, 717 bold typeset JPEG-RGB, and 1517
+    // (variant 30) stacks bold typeset WITH faded low-contrast lighting
+    // (bold ∧ Flate-RGB is unreachable: bold needs variant ≡ 6 mod 8, even,
+    // while Flate-RGB needs variant odd)
     val ids = Seq(17L, 67L, 117L, 167L, 217L, 267L, 317L, 367L, 417L, 467L,
-      517L, 717L, 1017L)
+      517L, 717L, 1017L, 1517L)
     ids.foreach { id =>
       val spec = graft.io.SyntheticPages.pageFor(id,
         "palabras de prueba numero " + id + " con mas contenido util aqui", "es")
