@@ -365,12 +365,16 @@ class OcrSpec extends AnyFunSuite {
   test("raster-path fuzz: mutated scanned PDFs of every encoding never throw") {
     val lines = Vector("Fuzz target text here")
     val bmp = GlyphRender.render(lines)
+    val bold = GlyphRender.render(lines, proportional = true, face = GlyphFont.Bold)
+    val faded = bmp.gray.map(b => (if ((b & 0xFF) < 128) 150 else 205).toByte)
     val fixtures = Seq(
       graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h),
       graft.pdf.MiniPdf.buildScanned(GlyphRender.toRgb(bmp), bmp.w, bmp.h, rgb = true),
       graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, dct = true),
       graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true),
-      graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true, mask = true))
+      graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true, mask = true),
+      graft.pdf.MiniPdf.buildScanned(bold.gray, bold.w, bold.h),
+      graft.pdf.MiniPdf.buildScanned(faded, bmp.w, bmp.h))
     var seed = 0xF1DDL
     fixtures.foreach { fx =>
       (0 until 40).foreach { _ =>
