@@ -32,18 +32,23 @@ object Curation {
     val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
       .select("id_a", "id_b")
     // verified pairs are emitted with id_a < id_b, so id_b is the loser.
-    // persist + count materializes the loser set NOW, so the fat shingle
-    // scratch can be unpersisted before returning. Deliberately NOT
-    // localCheckpoint: that stores unreplicated blocks AND truncates
-    // lineage, so one lost executor would make the caller's result
-    // unrecomputable — with persist the lineage survives and a lost block
-    // just re-tokenizes. What stays cached for the result's lifetime is
-    // only the slim distinct loser-id column, not the shingle sets.
-    val losers = Dedup.ngramJaccardSets(cand, sh)
+    // The loser set must be EAGERLY materialized with its lineage CUT
+    // before the shingle scratch is unpersisted: a merely-persisted child
+    // is invalidated by its parents' unpersist (the cache manager re-plans
+    // dependent entries), which silently re-runs the whole candidate+verify
+    // pipeline — shingle-less — inside the caller's first action (measured
+    // 10× on the t05 benchmark). Checkpointing cuts the lineage: reliable
+    // checkpoint() (replicated, survives executor loss) when the session
+    // has a checkpoint dir — the production setting — else
+    // localCheckpoint() with its documented unreplicated-blocks caveat.
+    // Either way curate never leaks a cached frame into the session.
+    val verified = Dedup.ngramJaccardSets(cand, sh)
       .where(col("jaccard") >= dupTau)
       .select(col("id_b").as("loser_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count()
+    val losers =
+      if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        verified.checkpoint()
+      else verified.localCheckpoint()
     sigs.unpersist()
     sh.unpersist()
 
