@@ -89,6 +89,63 @@ object LayoutProps extends Properties("graft.pdf.layout") {
       catch { case _: NoSuchElementException => raw.exists(_.y.isNaN) }
     }
 
+  // ---- TableGrid cell assembly vs the boxed original ----
+
+  private def refDetect(raw: Vector[RawSpan]): Vector[graft.model.TableRow] = {
+    if (raw.isEmpty) return Vector.empty
+    val lines = refLineGroups(raw)
+    def qcol(x: Double): Int = math.round(x / TableGrid.SnapTol).toInt
+    val qcols: Vector[Vector[Int]] =
+      lines.map(_.map { case (s, _) => qcol(s.x) }.distinct.sorted)
+    def shared(a: Vector[Int], b: Vector[Int]): Int = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
+    }
+    def build(ls: Vector[Vector[(RawSpan, Int)]],
+              qs: Vector[Vector[Int]]): graft.model.TableRow = {
+      val cols: Vector[Int] = qs.flatten.distinct.sorted
+      val colIdx: Map[Int, Int] = cols.zipWithIndex.toMap
+      var nonEmpty = 0
+      val data: Vector[Vector[String]] = ls.map { members =>
+        val cells = Array.fill(cols.length)("")
+        members.sortBy { case (s, idx) => (s.x, idx) }.foreach { case (s, _) =>
+          val c = colIdx(qcol(s.x))
+          cells(c) = if (cells(c).isEmpty) s.text else cells(c) + " " + s.text
+        }
+        cells.foreach(c => if (c.nonEmpty) nonEmpty += 1)
+        cells.toVector
+      }
+      graft.model.TableRow(data, nonEmpty.toDouble / (ls.length * cols.length))
+    }
+    val out = Vector.newBuilder[graft.model.TableRow]
+    var i = 0
+    while (i < lines.length) {
+      if (qcols(i).length >= 2) {
+        var j = i + 1
+        while (j < lines.length && qcols(j).length >= 2 &&
+               shared(qcols(j - 1), qcols(j)) >= 2) j += 1
+        if (j - i >= 2) out += build(lines.slice(i, j), qcols.slice(i, j))
+        i = math.max(j, i + 1)
+      } else i += 1
+    }
+    out.result()
+  }
+
+  // finite coordinates only: NaN x quantizes via math.round identically in
+  // both, but the boxed reference crashes on NaN y (covered above)
+  private val finiteSpansGen: Gen[Vector[RawSpan]] =
+    spansGen.map(_.filterNot(s => s.x.isNaN || s.y.isNaN))
+
+  property("TableGrid.detect matches the boxed reference implementation") =
+    forAll(finiteSpansGen) { raw =>
+      TableGrid.detect(raw) == refDetect(raw)
+    }
+
   // ---- number lexing: exact mant/10^k path vs String.toDouble ----
 
   private val numStrGen: Gen[String] = Gen.frequency(
