@@ -1303,9 +1303,9 @@ object SparkEntry {
     "s03_ivf_topk" ->
       """SELECT id, round(cos, 4) AS cos FROM (
         |  SELECT CAST(e.vec_id AS BIGINT) AS id,
-        |    list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
-        |      / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
-        |         * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))) AS cos
+        |    coalesce(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |      / nullif(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x))), 0), 0) AS cos
         |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |  ORDER BY cos DESC, id LIMIT 10) t""".stripMargin,
     // exact all-pairs cosine >= 0.9 over the same augmented corpus the Spark
@@ -1318,17 +1318,17 @@ object SparkEntry {
         |         list_transform(embedding::DOUBLE[], x -> x + 0.001) FROM embeddings)
         |SELECT id_a, id_b, round(cos, 4) AS cos FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_dot_product(a.v, b.v)
-        |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-        |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+        |    coalesce(list_dot_product(a.v, b.v)
+        |      / nullif(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.v, x -> x * x))), 0), 0) AS cos
         |  FROM c a JOIN c b ON a.vec_id < b.vec_id) p
         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "s01_cosine_topk" ->
       """SELECT vec_id, round(cos, 4) AS cos FROM (
         |  SELECT e.vec_id,
-        |    list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
-        |      / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
-        |         * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))) AS cos
+        |    coalesce(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |      / nullif(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x))), 0), 0) AS cos
         |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |  WHERE e.vec_id <> 0
         |  ORDER BY cos DESC, e.vec_id LIMIT 10) t""".stripMargin,

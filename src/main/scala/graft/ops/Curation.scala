@@ -24,10 +24,21 @@ object Curation {
 
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              dupTau: Double = 0.5, minQuality: Double = 60.0): DataFrame = {
+    // the dedup stack keys on Long ids, but the pipeline's own doc_id is a
+    // sha256 HEX STRING — casting that to long yields null and the typed
+    // shingle path dies. Non-numeric ids key internally on xxhash64(id)
+    // (deterministic; a 64-bit collision merely merges two docs' dup
+    // identity) and the ORIGINAL id is returned in the verdict. The min-id
+    // dup-canonical then follows hash order — arbitrary but stable.
+    val idIsNumeric = docs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val key =
+      if (idIsNumeric) col(idCol).cast("long") else xxhash64(col(idCol))
+    val keyed = docs.select(key.as("__cid"), col(textCol))
     // one tokenize pass feeds signatures AND exact verification; the
     // signatures persist too (minhashCandidates reads them three times —
     // banding + both sides of the verify join)
-    val sh = Dedup.shingleSets(docs, idCol, textCol).persist()
+    val sh = Dedup.shingleSets(keyed, "__cid", textCol).persist()
     val sigs = Dedup.signaturesFromSets(sh).persist()
     val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
       .select("id_a", "id_b")
@@ -52,10 +63,12 @@ object Curation {
     sigs.unpersist()
     sh.unpersist()
 
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(
+        (if (idIsNumeric) col(idCol).cast("long") else col(idCol)).as("doc_id"),
+        key.as("__cid"),
         TextStats.qualityScore(col(textCol)).as("q"),
         TextStats.langId(col(textCol)).as("l"))
-      .join(losers, col("doc_id") === col("loser_id"), "left")
+      .join(losers, col("__cid") === col("loser_id"), "left")
       .select(col("doc_id"),
         when(col("loser_id").isNotNull, lit("dup"))
           .when(col("q") < minQuality, lit("low_quality"))

@@ -505,6 +505,15 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
+    if (changed > 0)
+      // truncation is the SAFE direction (a chain longer than maxIter hops
+      // splits into several clusters = under-dedup, never over-merge), but
+      // it must not be silent: d05's exact-transitive-closure oracle would
+      // otherwise disagree with no hint why
+      System.err.println(
+        s"[graft] Dedup.clusters: label propagation NOT converged after " +
+          s"$maxIter iterations ($changed labels still shrinking); " +
+          s"components with diameter > $maxIter are split — raise maxIter")
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }

@@ -134,7 +134,7 @@ object FontDecode {
     */
   def fontsFor(page: PDict, objs: Objects): Map[String, FontDec] = {
     val fontDict = for {
-      res <- objs.dict(page.m.getOrElse("Resources", PNull))
+      res <- PdfExtractor.pageResources(page, objs) // /Resources inherits
       fd <- objs.dict(res.m.getOrElse("Font", PNull))
     } yield fd
     fontDict match {
@@ -294,17 +294,22 @@ object FontDecode {
     }
   }
 
-  /** Latin-focused AGL subset + systematic uniXXXX/uXXXX names. */
+  /** Latin-focused AGL subset + systematic uniXXXX/uXXXX names. The
+    * systematic path claims a name only when its tail is ALL hex digits:
+    * AGL names that merely start with 'u' at hex-plausible lengths
+    * ("uacute", "ugrave") must fall through to the table, not die on the
+    * failed hex parse.
+    */
   def glyphToText(name: String): Option[String] = {
     if ((name.startsWith("uni") && name.length >= 7) ||
         (name.startsWith("u") && name.length >= 5 && name.length <= 7)) {
       val hex = if (name.startsWith("uni")) name.substring(3, 7) else name.substring(1)
-      try {
+      if (hex.forall(c => Character.digit(c, 16) >= 0)) {
         val cp = Integer.parseInt(hex, 16)
-        if (cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
-          return Some(new String(Character.toChars(cp)))
-      } catch { case _: NumberFormatException => }
-      return None
+        return if (cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+          Some(new String(Character.toChars(cp)))
+        else None
+      }
     }
     Agl.get(name)
   }

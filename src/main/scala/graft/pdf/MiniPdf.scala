@@ -35,13 +35,6 @@ object MiniPdf {
     obj { w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n") }
     obj { w(s"2 0 obj\n<< /Type /Pages /Kids [ $kidRefs ] /Count $nPages >>\nendobj\n") }
     obj { w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n") }
-    if (info.nonEmpty) {
-      val infoNum = 4 + 2 * nPages
-      obj {
-        val entries = info.map { case (k, v) => s"/$k (${escape(v)})" }.mkString(" ")
-        w(s"$infoNum 0 obj\n<< $entries >>\nendobj\n")
-      }
-    }
 
     pageStreams.zipWithIndex.foreach { case (content, i) =>
       val pageNum = 4 + 2 * i
@@ -58,6 +51,20 @@ object MiniPdf {
         w(s"$contNum 0 obj\n<< /Length ${payload.length}$filter >>\nstream\n")
         out.write(payload)
         w("\nendstream\nendobj\n")
+      }
+    }
+
+    // Info LAST, matching its object number (4 + 2*nPages): the xref below
+    // assigns offsets to object numbers in WRITE order, so writing Info
+    // before the pages shifted every entry from object 4 on — a corrupt
+    // table whose header-number mismatch silently demoted parsing to the
+    // body scan, leaving the authoritative-xref path untested by Info
+    // fixtures
+    if (info.nonEmpty) {
+      val infoNum = 4 + 2 * nPages
+      obj {
+        val entries = info.map { case (k, v) => s"/$k (${escape(v)})" }.mkString(" ")
+        w(s"$infoNum 0 obj\n<< $entries >>\nendobj\n")
       }
     }
 

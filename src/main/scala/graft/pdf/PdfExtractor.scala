@@ -215,16 +215,33 @@ object PdfExtractor {
     if (out.size() == 0 && err != null) Left(err) else Right(out.toByteArray)
   }
 
+  /** Page /Resources with PDF 1.7 §7.7.3.4 inheritance: when absent on the
+    * page dict, the attribute comes from the nearest ancestor /Pages node
+    * (a common real-world writer pattern — shared font/XObject dicts live
+    * on the tree node). Bounded parent walk; cycles terminate.
+    */
+  private[graft] def pageResources(page: PDict, objs: Objects): Option[PDict] = {
+    var cur: Option[PDict] = Some(page)
+    var depth = 0
+    while (cur.isDefined && depth < 32) {
+      val d = cur.get
+      val res = objs.dict(d.m.getOrElse("Resources", PNull))
+      if (res.isDefined) return res
+      cur = objs.dict(d.m.getOrElse("Parent", PNull))
+      depth += 1
+    }
+    None
+  }
+
   private def resourcesHaveFont(page: PDict, objs: Objects): Boolean =
-    objs.dict(page.m.getOrElse("Resources", PNull))
-      .exists(r => r.m.contains("Font"))
+    pageResources(page, objs).exists(r => r.m.contains("Font"))
 
   /** Run pixel OCR over a page's image XObjects (8-bit DeviceGray/DeviceRGB,
     * any supported stream filter). Multiple images concatenate in resource
     * order; None when no image yields glyphs.
     */
   private def ocrPage(page: PDict, objs: Objects): Option[graft.ocr.GlyphOcr.OcrResult] = {
-    val imgs: Seq[PStream] = objs.dict(page.m.getOrElse("Resources", PNull))
+    val imgs: Seq[PStream] = pageResources(page, objs)
       .flatMap(r => objs.dict(r.m.getOrElse("XObject", PNull)))
       .map(_.m.toSeq.sortBy(_._1).flatMap { case (_, v) =>
         objs.resolve(v) match {

@@ -43,11 +43,16 @@ object Checkpoint {
 
   /** Fingerprints of the CURRENT input, one row per bucket. `bit_xor` is
     * order-independent and overflow-free (Spark 4 runs ANSI mode — a long
-    * `sum` of hashes would throw ARITHMETIC_OVERFLOW).
+    * `sum` of hashes would throw ARITHMETIC_OVERFLOW). The row hash covers
+    * the CONTENT, not just (url, length): a re-crawled page whose new
+    * payload happens to match the old length must still re-extract. XOR of
+    * two identical row hashes cancels, so resume compares (fingerprint,
+    * rows_in) — an added duplicate pair changes the row count even though
+    * it leaves the xor unchanged.
     */
   def fingerprints(pages: DataFrame, numBuckets: Int): DataFrame =
     pages.select(bucketCol(col("url"), numBuckets).as("bucket"),
-        xxhash64(col("url"), length(col("html"))).as("h"),
+        xxhash64(col("url"), col("html")).as("h"),
         length(col("html")).cast("long").as("bytes"))
       .groupBy("bucket")
       .agg(expr("bit_xor(h)").as("input_fingerprint"),
@@ -82,11 +87,12 @@ object Checkpoint {
     // re-extraction, or order a tombstone before the commit it supersedes)
     val nextSeq = (if (manifestRows.isEmpty) 0L
                    else manifestRows.iterator.map(_._3).max) + 1L
-    val committed: Map[Int, Long] =
-      latestRows.collect { case (b, (fp, rowsIn)) if rowsIn > 0 => b -> fp }
+    val committed: Map[Int, (Long, Long)] =
+      latestRows.collect { case (b, (fp, rowsIn)) if rowsIn > 0 => b -> (fp, rowsIn) }
 
     val current = fps.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val pending = current.filter { case (b, fp, _, _) => !committed.get(b).contains(fp) }
+    val pending = current.filter { case (b, fp, rows, _) =>
+      !committed.get(b).contains((fp, rows)) }
     val pendingBuckets = pending.map(_._1).toSet
 
     // input DRIFT the pending check cannot see: a bucket committed earlier

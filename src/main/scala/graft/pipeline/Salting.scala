@@ -31,14 +31,22 @@ object Salting {
     val sampled =
       if (sampleFraction >= 1.0) pages.select("url")
       else pages.select("url").sample(withReplacement = false, sampleFraction, seed = 42L)
-    val total = sampled.count().toDouble
-    if (total == 0) return Nil
-    sampled
+    // ONE scan of the input: the total comes from the (persisted) per-host
+    // aggregate — a separate count() action re-scanned the raw projection
+    // (and re-generated payloads on the synthetic source) on every run
+    val grouped = sampled
       .groupBy(hostCol(col("url")).as("host"))
       .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > lit(shareThreshold * total) && col("host").isNotNull)
-      .select("host")
-      .collect().map(_.getString(0)).toSeq.sorted
+      .persist()
+    try {
+      val total = grouped.agg(coalesce(sum("cnt"), lit(0L)))
+        .collect()(0).getLong(0).toDouble
+      if (total == 0) return Nil
+      grouped
+        .where(col("cnt") > lit(shareThreshold * total) && col("host").isNotNull)
+        .select("host")
+        .collect().map(_.getString(0)).toSeq.sorted
+    } finally grouped.unpersist()
   }
 
   /** Salt column: heavy hosts fan out over `saltBuckets`, others stay 0. */

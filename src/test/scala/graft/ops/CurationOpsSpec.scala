@@ -8,6 +8,26 @@ class CurationOpsSpec extends AnyFunSuite {
   private val spark = graft.TestSpark.spark
   import spark.implicits._
 
+  test("curate keys string (sha256) doc ids internally, returns them verbatim") {
+    // the pipeline's own doc_id is a sha256 hex string: casting to long
+    // yields null and the typed shingle path dies — curate must key on a
+    // hash internally and surface the original ids in the verdict
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog and keeps typing more words here " * 4
+    val docs = Seq(
+      ("a" * 64, body + "shared tail"),
+      ("b" * 64, body + "shared tail"), // exact near-dup of the first
+      ("c" * 64, "entirely unrelated document speaking about gardens rivers " +
+        "mountains weather seasons harvests markets travels letters music " * 4))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("a" * 64, "b" * 64, "c" * 64))
+    assert(Seq(out("a" * 64), out("b" * 64)).count(_ == "dup") == 1,
+      s"one of the identical pair must lose: $out")
+    assert(out("c" * 64) != "dup")
+  }
+
   test("chunkWords: 12-word chunks, remainder kept, 1-based slicing") {
     val df = Seq("a b c", ("w " * 25).trim).toDF("t")
     val out = df.select(ParaDedup.chunkWords(col("t"), 12).as("c"))

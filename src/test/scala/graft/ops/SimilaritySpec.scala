@@ -22,6 +22,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cos.sameElements(cos.sorted.reverse))
   }
 
+  test("zero-norm embeddings rank last (cosine 0), never NaN-top") {
+    // a failed/padding embedding is all zeros; unguarded 0/0 = NaN sorts
+    // ABOVE every double in Spark, topping every top-k
+    val withZero = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(Seq((999999L, Array.fill(queryVec.length)(0f)))
+        .toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(withZero.where(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec, 10).collect()
+    assert(!top.exists(_.getLong(0) == 999999L), "zero vector reached top-k")
+    assert(top.forall(r => !r.getDouble(1).isNaN))
+    val cosZero = withZero.where(col("vec_id") === 999999L)
+      .select(Similarity.cosine(col("embedding"),
+        lit(queryVec).cast("array<double>"))).head().getDouble(0)
+    assert(cosZero == 0.0)
+  }
+
   test("query vector finds itself with cosine ~1.0") {
     val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryVec, 1).collect()
     assert(top(0).getAs[Number]("vec_id").longValue == 0L)

@@ -430,6 +430,63 @@ class PdfSpec extends AnyFunSuite {
     assert(text(out.toByteArray) == "pi\u00f1a \u00e9 \u20ac5")
   }
 
+  test("glyph names starting with 'u' at hex-plausible lengths hit the AGL table") {
+    // "uacute"/"ugrave" look like uXXXX systematic names (len 5-7, lead 'u')
+    // but their tails are not hex — they must resolve via AGL, not die on
+    // the failed hex parse
+    assert(FontDecode.glyphToText("uacute").contains("ú"))
+    assert(FontDecode.glyphToText("ugrave").contains("ù"))
+    assert(FontDecode.glyphToText("u0041").contains("A"))   // systematic uXXXX
+    assert(FontDecode.glyphToText("uni20AC").contains("€"))
+    assert(FontDecode.glyphToText("uD800").isEmpty)         // valid hex, surrogate
+    import PdfObjects._
+    val font = PDict(Map("Encoding" -> PDict(Map("Differences" ->
+      PArr(Vector(PNum(65), PName("uacute"), PName("ugrave")))))))
+    val m = FontDecode.differencesMap(font, new Objects(Map.empty))
+    assert(m == Map(65 -> "ú", 66 -> "ù"))
+  }
+
+  test("inherited /Resources: fonts and encodings come from the /Pages node") {
+    // PDF 1.7 §7.7.3.4: /Resources is inheritable; a page without its own
+    // entry uses the ancestor's. Font carries a Differences encoding so the
+    // test fails visibly (garbled text) if inheritance is skipped.
+    val out = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+    val content = "BT /F1 12 Tf 72 700 Td (pi\\351a colada) Tj ET" // \351 = 0xE9
+    w("%PDF-1.7\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+      "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Differences [ 233 /ntilde ] >> >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Contents 5 0 R >>\nendobj\n") // NO page-level /Resources
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
+    while (out.size() < 1024) out.write('%')
+    val doc = PdfExtractor.extract(out.toByteArray).toOption.get
+    assert(doc.text == "piña colada", s"text='${doc.text}'")
+    // sawFont sees the inherited font dict → not misclassified as scanned
+    assert(doc.docType != "scanned", s"type=${doc.docType}")
+  }
+
+  test("MiniPdf info: xref offsets align with object numbers (authoritative path)") {
+    // the Info object is numbered 4+2n and must be WRITTEN last so the
+    // sequential xref table maps offsets to the right objects — a shifted
+    // table silently demoted every Info fixture to the body-scan fallback
+    val pdf = MiniPdf.build(Seq(MiniPdf.streamFor(Seq(("T", 72, 700)))),
+      info = Seq("Title" -> "Aligned"))
+    val entries = PdfObjects.parseXrefChain(pdf)
+    assert(entries.nonEmpty)
+    val bytes = new String(pdf, ISO_8859_1)
+    entries.foreach { case (num, e) =>
+      if (e.kind == 1)
+        assert(bytes.startsWith(s"$num 0 obj", e.a.toInt),
+          s"xref entry $num points at '${bytes.substring(e.a.toInt, math.min(bytes.length, e.a.toInt + 12))}'")
+    }
+    val doc = PdfExtractor.extract(pdf).toOption.get
+    assert(doc.metadata.get("title").contains("Aligned"))
+  }
+
   test("differences-encoding: consecutive names advance the code") {
     import PdfObjects._
     val font = PDict(Map("Encoding" -> PDict(Map("Differences" ->

@@ -80,6 +80,38 @@ class CheckpointSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("same-length content drift re-extracts (fingerprint covers bytes, not length)") {
+    // a re-crawl that replaces html with DIFFERENT bytes of the SAME length
+    // was invisible to a (url, length) fingerprint — stale output survived
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val out = freshDir()
+    Checkpoint.run(pages, out, ParquetIO, conf, "run-1", numBuckets = 16)
+    val mut = udf { (b: Array[Byte]) =>
+      val c = b.clone() // flip one content byte, length unchanged
+      if (c.length > 200) c(200) = (c(200) ^ 0x01).toByte
+      c
+    }
+    val drifted = pages.withColumn("html",
+      when(Checkpoint.bucketCol(col("url"), 16) === 5, mut(col("html")))
+        .otherwise(col("html")))
+    val s = Checkpoint.run(drifted, out, ParquetIO, conf, "run-2", numBuckets = 16)
+    assert(s.bucketsPending == 1, s"same-length drift not detected: $s")
+    pages.unpersist()
+  }
+
+  test("an added duplicate row pair re-extracts (xor cancellation caught by rows_in)") {
+    // two IDENTICAL added rows xor-cancel in the bucket fingerprint; the
+    // (fingerprint, rows_in) comparison still sees the drift
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val out = freshDir()
+    Checkpoint.run(pages, out, ParquetIO, conf, "run-1", numBuckets = 16)
+    val inB = pages.where(Checkpoint.bucketCol(col("url"), 16) === 7).limit(1)
+    val withDup = pages.unionAll(inB).unionAll(inB)
+    val s = Checkpoint.run(withDup, out, ParquetIO, conf, "run-2", numBuckets = 16)
+    assert(s.bucketsPending == 1, s"duplicate-pair drift not detected: $s")
+    pages.unpersist()
+  }
+
   test("row deletion drift: a committed bucket gone from the input is tombstoned") {
     val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
     val out = freshDir()
