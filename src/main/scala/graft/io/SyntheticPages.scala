@@ -106,8 +106,8 @@ object SyntheticPages {
       // illumination gradient (photographed page, one margin shadowed) or
       // uniformly faded low-contrast ink — the adaptive-binarization
       // territory a global threshold cannot read
-      val samples =
-        if (rgb) graft.ocr.GlyphRender.toRgb(bmp)
+      val upGray: Array[Byte] =
+        if (rgb) bmp.gray
         else if (variant % 10 == 0 && (variant / 10) % 2 == 0) {
           // gradient span capped so any 96-px binarizer neighborhood sees
           // ≤ 36 levels of background drift: < 40 keeps blank neighborhoods
@@ -132,9 +132,19 @@ object SyntheticPages {
         } else if (variant % 10 == 0)
           bmp.gray.map(b => (if ((b & 0xFF) < 128) 150 else 205).toByte)
         else bmp.gray
+      // /Rotate rotation (quarter turns CW a viewer must apply): the stored
+      // raster is the upright page rotated CCW by the same amount — rotated
+      // scans (landscape-fed portrait pages, upside-down feeder stacks) are
+      // everyday input and the extractor must un-rotate before OCR
+      val quarter = ((variant / 3) % 4).toInt
+      val (stGray, sw, sh) =
+        graft.ocr.GlyphOcr.rotateCW(upGray, bmp.w, bmp.h, (4 - quarter) % 4)
+      val samples =
+        if (rgb) graft.ocr.GlyphRender.toRgb(graft.ocr.GlyphRender.Bitmap(stGray, sw, sh))
+        else stGray
       Spec(urlOf(docId), Epoch + docId * 1000L,
-        MiniPdf.buildScanned(samples, bmp.w, bmp.h, rgb, dct = dct,
-          ccitt = ccitt, mask = mask),
+        MiniPdf.buildScanned(samples, sw, sh, rgb, dct = dct,
+          ccitt = ccitt, mask = mask, rotate = quarter * 90),
         lines.mkString("\n"), lang)
     } else if (isBrokenDoc(docId)) {
       val junk = new java.lang.StringBuilder("%PDF-1.7\n")

@@ -423,6 +423,36 @@ object GlyphOcr {
     best
   }
 
+  /** Rotate a row-major gray raster CLOCKWISE by `quarterTurns` × 90°.
+    * Returns (pixels, w, h) — odd turns swap the dimensions. Lossless and
+    * block-structure-preserving, so multi-DPI auto-scale stays exact on
+    * rotated block-replicated scans. Used for the PDF `/Rotate` page
+    * attribute (the viewer rotates the page CW by that many degrees to
+    * display it upright — so CW-rotating the stored raster recovers the
+    * upright text).
+    */
+  def rotateCW(gray: Array[Byte], w: Int, h: Int,
+               quarterTurns: Int): (Array[Byte], Int, Int) = {
+    val t = ((quarterTurns % 4) + 4) % 4
+    if (t == 0 || w <= 0 || h <= 0 || gray.length < w * h) return (gray, w, h)
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = gray(y * w + x)
+        t match {
+          case 1 => out(x * h + (h - 1 - y)) = v           // 90° CW
+          case 2 => out((h - 1 - y) * w + (w - 1 - x)) = v // 180°
+          case _ => out((w - 1 - x) * h + y) = v           // 270° CW
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (t == 2) (out, w, h) else (out, h, w)
+  }
+
   /** RGB (3 bytes/px, interleaved) → 8-bit luminance (reference E4's
     * grayscale convert, integer 299/587/114 weights).
     */

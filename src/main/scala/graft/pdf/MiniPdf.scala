@@ -355,15 +355,18 @@ object MiniPdf {
     */
   def buildScanned(samples: Array[Byte], w: Int, h: Int, rgb: Boolean = false,
                    padTo: Int = 1024, dct: Boolean = false,
-                   ccitt: Boolean = false, mask: Boolean = false): Array[Byte] = {
+                   ccitt: Boolean = false, mask: Boolean = false,
+                   rotate: Int = 0): Array[Byte] = {
     require(!(dct && ccitt) && !(ccitt && rgb), "ccitt is bilevel gray only")
     require(!mask || ccitt, "mask fixtures are CCITT stencils")
+    require(rotate % 90 == 0, "/Rotate must be a multiple of 90")
     val out = new ByteArrayOutputStream()
     def wr(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     wr("%PDF-1.7\n")
     wr("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     wr("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
-    wr("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+    val rotDecl = if (rotate != 0) s"/Rotate $rotate " else ""
+    wr(s"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] $rotDecl" +
       "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
     val content = s"q $w 0 0 $h 72 ${720 - h} cm /Im0 Do Q"
     wr(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")

@@ -215,23 +215,35 @@ object PdfExtractor {
     if (out.size() == 0 && err != null) Left(err) else Right(out.toByteArray)
   }
 
-  /** Page /Resources with PDF 1.7 §7.7.3.4 inheritance: when absent on the
-    * page dict, the attribute comes from the nearest ancestor /Pages node
-    * (a common real-world writer pattern — shared font/XObject dicts live
-    * on the tree node). Bounded parent walk; cycles terminate.
+  /** Inheritable page attribute (PDF 1.7 §7.7.3.4): nearest definition up
+    * the /Parent chain wins. Bounded walk; cycles terminate.
     */
-  private[graft] def pageResources(page: PDict, objs: Objects): Option[PDict] = {
+  private def inheritedAttr(page: PDict, objs: Objects, key: String): Option[PVal] = {
     var cur: Option[PDict] = Some(page)
     var depth = 0
     while (cur.isDefined && depth < 32) {
       val d = cur.get
-      val res = objs.dict(d.m.getOrElse("Resources", PNull))
-      if (res.isDefined) return res
+      if (d.m.contains(key)) return Some(objs.resolve(d.m(key)))
       cur = objs.dict(d.m.getOrElse("Parent", PNull))
       depth += 1
     }
     None
   }
+
+  /** Page /Resources with inheritance — a common real-world writer pattern
+    * puts shared font/XObject dicts on the /Pages tree node.
+    */
+  private[graft] def pageResources(page: PDict, objs: Objects): Option[PDict] =
+    inheritedAttr(page, objs, "Resources").flatMap(objs.dict)
+
+  /** Page /Rotate (inheritable) as clockwise quarter turns; non-multiples
+    * of 90 (spec-invalid) and absence both mean 0.
+    */
+  private def pageRotation(page: PDict, objs: Objects): Int =
+    inheritedAttr(page, objs, "Rotate").flatMap(objs.num).map { d =>
+      val norm = ((d.toInt % 360) + 360) % 360
+      if (norm % 90 == 0) norm / 90 else 0
+    }.getOrElse(0)
 
   private def resourcesHaveFont(page: PDict, objs: Objects): Boolean =
     pageResources(page, objs).exists(r => r.m.contains("Font"))
@@ -250,6 +262,7 @@ object PdfExtractor {
           case _ => None
         }
       }).getOrElse(Seq.empty)
+    val rot = pageRotation(page, objs)
     val results = imgs.flatMap { s =>
       val d = s.dict.m
       val w = objs.num(d.getOrElse("Width", PNull)).map(_.toInt).getOrElse(0)
@@ -302,9 +315,15 @@ object PdfExtractor {
           while (i < g.length) { g(i) = (~g(i)).toByte; i += 1 }
           g
         }
-        // auto-scale: scans arrive at 1-3× the font's native DPI
-        // (reference profiles 150/300/600, system_config.py:19-33)
-        lum.map(g => graft.ocr.GlyphOcr.recognizeAutoScale(g, w, h))
+        // /Rotate (inheritable): rotated scans are everyday input — portrait
+        // pages scanned landscape, upside-down feeder stacks; without the
+        // un-rotate the recognizer sees sideways glyph shapes and reads
+        // nothing. Then auto-scale: scans arrive at 1-3× the font's native
+        // DPI (reference profiles 150/300/600, system_config.py:19-33)
+        lum.map { g =>
+          val (rg, rw, rh) = graft.ocr.GlyphOcr.rotateCW(g, w, h, rot)
+          graft.ocr.GlyphOcr.recognizeAutoScale(rg, rw, rh)
+        }
       }
     }.filter(_.glyphs > 0)
     if (results.isEmpty) None

@@ -490,6 +490,49 @@ class OcrSpec extends AnyFunSuite {
     assert(doc.confidence == 100.0)
   }
 
+  test("rotateCW: quarter-turn algebra round-trips pixels exactly") {
+    val bmp = GlyphRender.render(Vector("Rotate me 90", "second line!"))
+    for (t <- 1 to 3) {
+      val (r, rw, rh) = GlyphOcr.rotateCW(bmp.gray, bmp.w, bmp.h, t)
+      val (back, bw, bh) = GlyphOcr.rotateCW(r, rw, rh, 4 - t)
+      assert(bw == bmp.w && bh == bmp.h)
+      assert(back.sameElements(bmp.gray), s"$t-turn round trip")
+    }
+    // identity turns and degenerate input are total
+    assert(GlyphOcr.rotateCW(bmp.gray, bmp.w, bmp.h, 4)._1 eq bmp.gray)
+    assert(GlyphOcr.rotateCW(Array.emptyByteArray, 0, 0, 1)._1.isEmpty)
+  }
+
+  test("/Rotate scanned pages un-rotate before OCR (90/180/270, incl. JPEG)") {
+    // landscape-fed portrait pages and upside-down feeder stacks: the
+    // stored raster is sideways, /Rotate says how the viewer rights it
+    val lines = Vector("Sideways feeder scan", "page 2 of 9 (ok)")
+    Seq((90, false), (180, true), (270, false)).foreach { case (deg, dct) =>
+      val bmp = GlyphRender.render(lines, skew0 = 0.0125, noiseSeed = 19L, noisePerGap = 2)
+      val (st, sw, sh) = GlyphOcr.rotateCW(bmp.gray, bmp.w, bmp.h, (4 - deg / 90) % 4)
+      val pdf = graft.pdf.MiniPdf.buildScanned(st, sw, sh, dct = dct, rotate = deg)
+      val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+      assert(doc.docType == "scanned")
+      assert(doc.text == lines.mkString("\n"), s"deg=$deg dct=$dct: '${doc.text}'")
+      // and WITHOUT the rotation honor the sideways raster reads nothing
+      val flat = graft.pdf.MiniPdf.buildScanned(st, sw, sh, dct = dct)
+      assert(graft.pdf.PdfExtractor.extract(flat).toOption.get.text
+        != lines.mkString("\n"))
+    }
+  }
+
+  test("/Rotate inherited from the /Pages node is honored") {
+    val lines = Vector("Inherited rotation")
+    val bmp = GlyphRender.render(lines)
+    val (st, sw, sh) = GlyphOcr.rotateCW(bmp.gray, bmp.w, bmp.h, 3) // viewer: +90
+    val pdf = new String(graft.pdf.MiniPdf.buildScanned(st, sw, sh),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/Type /Pages ", "/Type /Pages /Rotate 90 ")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.text == lines.mkString("\n"), s"text='${doc.text}'")
+  }
+
   test("narrow fallback page in the gradient-lighting corpus slice stays exact") {
     // a doc whose words carry no letters/digits falls back to "SCAN <id>"
     // (~50 px wide); with an uncapped 110-level gradient the whole page fits
