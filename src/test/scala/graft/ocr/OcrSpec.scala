@@ -374,7 +374,8 @@ class OcrSpec extends AnyFunSuite {
       graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true),
       graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true, mask = true),
       graft.pdf.MiniPdf.buildScanned(bold.gray, bold.w, bold.h),
-      graft.pdf.MiniPdf.buildScanned(faded, bmp.w, bmp.h))
+      graft.pdf.MiniPdf.buildScanned(faded, bmp.w, bmp.h),
+      graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, rotate = 270))
     var seed = 0xF1DDL
     fixtures.foreach { fx =>
       (0 until 40).foreach { _ =>
