@@ -50,9 +50,15 @@ object Curation {
     // pipeline — shingle-less — inside the caller's first action (measured
     // 10× on the t05 benchmark). Checkpointing cuts the lineage: reliable
     // checkpoint() (replicated, survives executor loss) when the session
-    // has a checkpoint dir — the production setting — else
-    // localCheckpoint() with its documented unreplicated-blocks caveat.
-    // Either way curate never leaks a cached frame into the session.
+    // has a checkpoint dir — the production setting; pair it with
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true so per-call
+    // checkpoint files are reclaimed when the result is GC'd — else
+    // localCheckpoint(). The localCheckpoint fallback knowingly trades
+    // executor-loss recoverability for correctness-at-speed: the
+    // alternatives both fail worse (persist'd losers are invalidated by
+    // the scratch unpersist and silently recompute shingle-less; keeping
+    // the scratch cached leaks hundreds of MB per call into the caller's
+    // session). Either way curate never leaks a cached frame.
     val verified = Dedup.ngramJaccardSets(cand, sh)
       .where(col("jaccard") >= dupTau)
       .select(col("id_b").as("loser_id")).distinct()

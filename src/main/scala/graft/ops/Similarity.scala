@@ -27,14 +27,17 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Zero-norm guard: a failed/padding embedding must rank LAST, not first —
-    * unguarded 0/0 is NaN, which Spark orders above every double, so one
-    * all-zero vector would top every top-k and pass `cos >= tau` gates.
-    * Defined as 0.0 (orthogonal) on both sides; the DuckDB oracles carry
-    * the same coalesce/nullif guard.
+  /** Zero-norm guard: a zero (padding/failed) embedding must rank LAST,
+    * not first — unguarded 0/0 is NaN, which Spark orders above every
+    * double, so one all-zero vector would top every top-k and pass
+    * `cos >= tau` gates. Defined as 0.0 (orthogonal); the DuckDB oracles
+    * carry the same coalesce/nullif guard. NULL embeddings stay NULL
+    * (sorted last under ORDER BY cos DESC) — the guard must not fabricate
+    * a 0.0 score for a missing vector.
     */
   def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(dot(a, b) / nullif(norm(a) * norm(b), lit(0.0)), lit(0.0))
+    coalesce(dot(a, b) / nullif(norm(a) * norm(b), lit(0.0)),
+      when(a.isNotNull && b.isNotNull, lit(0.0)))
 
   // --- int8 symmetric quantization (vector-store memory scale path) -------
   // q_i = round(x_i * 127 / max|x|); reconstruct x̂_i = q_i * max|x| / 127.

@@ -245,12 +245,22 @@ object PdfExtractor {
       if (norm % 90 == 0) norm / 90 else 0
     }.getOrElse(0)
 
+  /** Classifier probe: deliberately page-LOCAL, no inheritance — a shared
+    * template font on the /Pages node (stamps/headers) must not flip a
+    * raster-only scan from `scanned` to `mixed`; the probe asks "does THIS
+    * page declare fonts", inheritance applies only to actually decoding
+    * (fontsFor) and OCR resource lookup.
+    */
   private def resourcesHaveFont(page: PDict, objs: Objects): Boolean =
-    pageResources(page, objs).exists(r => r.m.contains("Font"))
+    objs.dict(page.m.getOrElse("Resources", PNull))
+      .exists(r => r.m.contains("Font"))
 
   /** Run pixel OCR over a page's image XObjects (8-bit DeviceGray/DeviceRGB,
     * any supported stream filter). Multiple images concatenate in resource
-    * order; None when no image yields glyphs.
+    * order — placement geometry is untracked (no CTM, SURVEY §7.5.1), so
+    * a rotated multi-image page keeps resource order even where the
+    * rotation reverses the images' visual stacking; real scanned pages are
+    * one full-page raster. None when no image yields glyphs.
     */
   private def ocrPage(page: PDict, objs: Objects): Option[graft.ocr.GlyphOcr.OcrResult] = {
     val imgs: Seq[PStream] = pageResources(page, objs)

@@ -10,9 +10,11 @@ import graft.model.PipelineConf
   *
   * Unit of commit = a URL-hash bucket (`pmod(xxhash64(url), numBuckets)`),
   * stable across runs and cluster sizes (unlike task partition ids). Each
-  * bucket carries an order-independent input fingerprint
-  * (`sum(xxhash64(url, length(html)))`) so resume detects input drift, not
-  * just presence.
+  * bucket carries an order-independent, content-sensitive input
+  * fingerprint (xxhash64 over the bucket's xor and decimal SUM of per-row
+  * `xxhash64(url, html)`, compared together with rows_in) so resume
+  * detects input drift — content changes, additions, deletions, duplicate
+  * multiplicity — not just presence.
   *
   * Protocol (Parquet mode; Iceberg swaps in snapshot commits via TableIO):
   *   1. read manifest (if any) → committed (bucket, fingerprint) pairs;
@@ -41,23 +43,30 @@ object Checkpoint {
   def bucketCol(url: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(url), lit(numBuckets.toLong)).cast("int")
 
-  /** Fingerprints of the CURRENT input, one row per bucket. `bit_xor` is
-    * order-independent and overflow-free (Spark 4 runs ANSI mode — a long
-    * `sum` of hashes would throw ARITHMETIC_OVERFLOW). The row hash covers
-    * the CONTENT, not just (url, length): a re-crawled page whose new
-    * payload happens to match the old length must still re-extract. XOR of
-    * two identical row hashes cancels, so resume compares (fingerprint,
-    * rows_in) — an added duplicate pair changes the row count even though
-    * it leaves the xor unchanged.
+  /** Fingerprints of the CURRENT input, one row per bucket. The row hash
+    * covers the CONTENT, not just (url, length): a re-crawled page whose
+    * new payload happens to match the old length must still re-extract.
+    * The bucket fingerprint hashes BOTH order-independent combiners of the
+    * row hashes:
+    *  - `bit_xor`: cheap, but two identical rows cancel (an in-place
+    *    change of an even-multiplicity row group is invisible to it);
+    *  - decimal(38,0) `sum`: multiplicity-sensitive and overflow-free
+    *    under ANSI mode (a long sum of hashes would throw
+    *    ARITHMETIC_OVERFLOW; 10^12 rows × 2^63 still fits 38 digits).
+    * Resume additionally compares rows_in.
     */
   def fingerprints(pages: DataFrame, numBuckets: Int): DataFrame =
     pages.select(bucketCol(col("url"), numBuckets).as("bucket"),
         xxhash64(col("url"), col("html")).as("h"),
         length(col("html")).cast("long").as("bytes"))
       .groupBy("bucket")
-      .agg(expr("bit_xor(h)").as("input_fingerprint"),
+      .agg(expr("bit_xor(h)").as("hx"),
+        sum(col("h").cast("decimal(38,0)")).as("hs"),
         count(lit(1)).as("rows_in"),
         sum("bytes").as("bytes_in"))
+      .select(col("bucket"),
+        xxhash64(col("hx"), col("hs").cast("string")).as("input_fingerprint"),
+        col("rows_in"), col("bytes_in"))
 
   /** Run or resume. Returns the summary; output lands at dataPath(outDir). */
   def run(pages: DataFrame, outDir: String, io: TableIO, conf: PipelineConf,

@@ -36,6 +36,12 @@ class SimilaritySpec extends AnyFunSuite {
       .select(Similarity.cosine(col("embedding"),
         lit(queryVec).cast("array<double>"))).head().getDouble(0)
     assert(cosZero == 0.0)
+    // a NULL embedding stays NULL (sorts last), never a fabricated 0.0
+    val nullRow = Seq((888888L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val cosNull = nullRow.select(Similarity.cosine(col("embedding"),
+      lit(queryVec).cast("array<double>"))).head()
+    assert(cosNull.isNullAt(0), s"null embedding got score $cosNull")
   }
 
   test("query vector finds itself with cosine ~1.0") {

@@ -112,6 +112,28 @@ class CheckpointSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("in-place change of an even-multiplicity row group re-extracts (sum combiner)") {
+    // a duplicate PAIR replaced by a different duplicate pair: xor is 0
+    // before and after AND rows_in is unchanged — only the
+    // multiplicity-sensitive decimal-sum combiner sees this drift
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val inB = pages.where(Checkpoint.bucketCol(col("url"), 16) === 9).limit(1)
+    val doubled = pages.unionAll(inB) // row appears twice → xor contribution 0
+    val out = freshDir()
+    Checkpoint.run(doubled, out, ParquetIO, conf, "run-1", numBuckets = 16)
+    val mut = udf { (b: Array[Byte]) =>
+      val c = b.clone()
+      if (c.length > 300) c(300) = (c(300) ^ 0x02).toByte
+      c
+    }
+    val urlB = inB.select("url").collect()(0).getString(0)
+    val changed = doubled.withColumn("html",
+      when(col("url") === urlB, mut(col("html"))).otherwise(col("html")))
+    val s = Checkpoint.run(changed, out, ParquetIO, conf, "run-2", numBuckets = 16)
+    assert(s.bucketsPending == 1, s"even-multiplicity in-place drift not detected: $s")
+    pages.unpersist()
+  }
+
   test("row deletion drift: a committed bucket gone from the input is tombstoned") {
     val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
     val out = freshDir()
