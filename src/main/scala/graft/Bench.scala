@@ -60,15 +60,22 @@ object Bench {
     pages.unpersist()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(_) => -1L }
-      val sec = (System.nanoTime() - t) / 1e9
-      // dedup queries persist() their shingle-set scratch; drop it between
-      // queries (untimed — each query already paid its own persist cost in
-      // its window) so cached copies never accumulate across the run
-      spark.catalog.clearCache()
-      name -> sec
+      // per-query timing: one rep for sub-0.5 s queries (scheduling floor
+      // dominates, a second rep buys no signal), min-of-2 above it — the
+      // ambient-load regime that made r4's t05/s04/m01 round-over-round
+      // deltas uninterpretable (VERDICT r4 directive 2). The cache clear
+      // between reps keeps rep 2 measuring the same cold-scratch work as
+      // rep 1 (dedup queries persist() shingle scratch internally).
+      def rep(): Double = {
+        val t = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(_) => -1L }
+        val sec = (System.nanoTime() - t) / 1e9
+        spark.catalog.clearCache()
+        sec
+      }
+      val first = rep()
+      name -> (if (first > 0.5) math.min(first, rep()) else first)
     }
     // Locale.ROOT: a comma-decimal default locale would emit malformed JSON
     def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))

@@ -9,6 +9,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 trait TableIO {
   def read(spark: SparkSession, table: String): DataFrame
+  /** Read tolerating in-place schema evolution (columns ADDED across engine
+    * versions — e.g. the checkpoint manifest's `fp_version`): rows written
+    * before the addition surface the new column as null. Default delegates
+    * to [[read]] (Iceberg evolves schemas natively); the Parquet impl pays
+    * a mergeSchema footer union — acceptable for small metadata tables,
+    * deliberately NOT the default for data reads.
+    */
+  def readEvolving(spark: SparkSession, table: String): DataFrame = read(spark, table)
   def write(df: DataFrame, table: String, mode: SaveMode): Unit
   /** Overwrite only the key-partitions present in `df` (exactly-once resume
     * building block; Iceberg: dynamic overwrite / MERGE).
@@ -25,6 +33,9 @@ trait TableIO {
 /** Local Parquet implementation; `table` is a directory path. */
 object ParquetIO extends TableIO {
   def read(spark: SparkSession, table: String): DataFrame = spark.read.parquet(table)
+
+  override def readEvolving(spark: SparkSession, table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(table)
 
   def write(df: DataFrame, table: String, mode: SaveMode): Unit =
     df.write.mode(mode).parquet(table)

@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   * Scale shape: quality/lang are narrow column exprs; the dup-loser set is
   * the LSH candidate pipeline at pair cardinality followed by one
   * left-anti-style join back to the corpus — never an all-pairs pass.
+  *
+  * OUTPUT SCHEMA VARIANCE: the verdict's `doc_id` column type follows the
+  * input — `long` when `idCol` is numeric, the input's own type (e.g. a
+  * sha256 hex string) otherwise. Callers unioning verdicts across
+  * differently-typed corpora must cast explicitly. Non-numeric ids key the
+  * dedup stack internally on `xxhash64(id)`: a 64-bit collision merges two
+  * documents' dup identity, so at most one of them can be misflagged `dup`
+  * (never the reverse — a keep is never manufactured). Expected collisions
+  * are birthday-bounded at n²/2⁶⁵ (≈ 0.3 pairs at 10¹¹ docs); a corpus
+  * where even that is unacceptable should pre-assign dense numeric ids
+  * (e.g. `zipWithIndex` at ingest) rather than pay a string-keyed shuffle
+  * through the whole shingle pipeline.
   */
 object Curation {
 

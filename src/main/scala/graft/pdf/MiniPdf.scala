@@ -102,34 +102,60 @@ object MiniPdf {
                  padTo: Int = 1024): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    // offsets per object NUMBER (text pages leave their image slot unused,
+    // so the table has holes — written as free entries below). The xref is
+    // written the same way build() writes it: mixed fixtures must exercise
+    // the authoritative-xref parse path, not just the body-scan fallback.
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = { offsets(num) = out.size(); body }
     w("%PDF-1.7\n")
     val kidRefs = pages.indices.map(i => s"${4 + 3 * i} 0 R").mkString(" ")
-    w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kidRefs ] /Count ${pages.length} >>\nendobj\n")
-    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    obj(1) { w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n") }
+    obj(2) { w(s"2 0 obj\n<< /Type /Pages /Kids [ $kidRefs ] /Count ${pages.length} >>\nendobj\n") }
+    obj(3) { w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n") }
     pages.zipWithIndex.foreach { case (p, i) =>
       val pageNum = 4 + 3 * i
       val contNum = 5 + 3 * i
       val imgNum = 6 + 3 * i
       p match {
         case Left(content) =>
-          w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
-            s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
-          w(s"$contNum 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+          obj(pageNum) {
+            w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+              s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+          }
+          obj(contNum) {
+            w(s"$contNum 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+          }
         case Right((gray, iw, ih)) =>
-          w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
-            s"/Resources << /XObject << /Im0 $imgNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+          obj(pageNum) {
+            w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+              s"/Resources << /XObject << /Im0 $imgNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+          }
           val content = s"q $iw 0 0 $ih 72 ${720 - ih} cm /Im0 Do Q"
-          w(s"$contNum 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+          obj(contNum) {
+            w(s"$contNum 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+          }
           val packed = deflate(gray)
-          w(s"$imgNum 0 obj\n<< /Type /XObject /Subtype /Image /Width $iw /Height $ih " +
-            s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode " +
-            s"/Length ${packed.length} >>\nstream\n")
-          out.write(packed)
-          w("\nendstream\nendobj\n")
+          obj(imgNum) {
+            w(s"$imgNum 0 obj\n<< /Type /XObject /Subtype /Image /Width $iw /Height $ih " +
+              s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode " +
+              s"/Length ${packed.length} >>\nstream\n")
+            out.write(packed)
+            w("\nendstream\nendobj\n")
+          }
       }
     }
-    w(s"trailer\n<< /Size ${3 * pages.length + 4} /Root 1 0 R >>\n%%EOF\n")
+    val maxObj = 3 + 3 * pages.length
+    val xrefPos = out.size()
+    w(s"xref\n0 ${maxObj + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to maxObj).foreach { n =>
+      offsets.get(n) match {
+        case Some(o) => w(f"$o%010d 00000 n \n")
+        case None => w("0000000000 65535 f \n") // unused image slot of a text page
+      }
+    }
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%%%EOF\n")
     if (out.size() < padTo) {
       w("%")
       while (out.size() < padTo - 1) out.write('x')

@@ -33,6 +33,18 @@ import graft.model.PipelineConf
   */
 object Checkpoint {
 
+  /** Version of the bucket-fingerprint FORMULA (not the data): bumped
+    * whenever [[fingerprints]] changes what it hashes, so a cross-version
+    * resume recomputes every bucket EXPLICITLY (logged as a format break)
+    * instead of looking like universal input drift. v1 = xxhash64 over
+    * per-bucket xor of xxhash64(url, length); v2 = xor + decimal-sum of
+    * xxhash64(url, html) compared together with rows_in (content- and
+    * multiplicity-sensitive). Manifests written before this column existed
+    * read as v1. Recompute-on-mismatch is the correct direction either way
+    * (never stale output), the version only makes it attributable.
+    */
+  val FingerprintVersion = 2
+
   final case class RunSummary(
     bucketsTotal: Int, bucketsPending: Int, bucketsCommitted: Int,
     rowsIn: Long, rowsOut: Long, bytesIn: Long)
@@ -78,17 +90,25 @@ object Checkpoint {
     // latest manifest row per bucket wins (re-extraction overwrites);
     // a tombstone row (rows_in = 0) means the bucket was deleted — it is
     // NOT an active commit, so a reappearing bucket re-extracts
-    val manifestRows: Array[(Int, Long, Long, Long)] =
-      if (io.exists(spark, manifestPath(outDir)))
-        io.read(spark, manifestPath(outDir))
-          .select("bucket", "input_fingerprint", "committed_seq", "rows_in")
+    val manifestRows: Array[(Int, Long, Long, Long, Int)] =
+      if (io.exists(spark, manifestPath(outDir))) {
+        val m = io.readEvolving(spark, manifestPath(outDir))
+        // manifests (or individual manifest FILES — readEvolving surfaces
+        // pre-addition rows as null) written before the version column
+        // existed are v1
+        val versioned =
+          if (m.columns.contains("fp_version"))
+            m.withColumn("fp_version", coalesce(col("fp_version"), lit(1)))
+          else m.withColumn("fp_version", lit(1))
+        versioned
+          .select("bucket", "input_fingerprint", "committed_seq", "rows_in", "fp_version")
           .collect()
-          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      else Array.empty
-    val latestRows: Map[Int, (Long, Long)] =
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      } else Array.empty
+    val latestRows: Map[Int, (Long, Long, Int)] =
       manifestRows.groupBy(_._1).map { case (b, rows) =>
         val latest = rows.maxBy(_._3)
-        b -> (latest._2, latest._4)
+        b -> (latest._2, latest._4, latest._5)
       }
     // MONOTONIC ordering seq: max(existing) + 1, never wall clock — two runs
     // in the same millisecond or a clock step backwards must not let an
@@ -96,8 +116,19 @@ object Checkpoint {
     // re-extraction, or order a tombstone before the commit it supersedes)
     val nextSeq = (if (manifestRows.isEmpty) 0L
                    else manifestRows.iterator.map(_._3).max) + 1L
+    // a commit is only valid under the CURRENT fingerprint formula: an
+    // older-version row cannot be compared to a current fingerprint, so
+    // its bucket recomputes — a one-time, explicitly-logged format break
+    // rather than silent universal "input drift"
+    val versionBreak = latestRows.count { case (_, (_, rowsIn, fpv)) =>
+      rowsIn > 0 && fpv != FingerprintVersion }
+    if (versionBreak > 0)
+      System.err.println(s"[checkpoint] $versionBreak bucket(s) committed under " +
+        s"fingerprint version != $FingerprintVersion (formula change): " +
+        "re-extracting them once under the current formula")
     val committed: Map[Int, (Long, Long)] =
-      latestRows.collect { case (b, (fp, rowsIn)) if rowsIn > 0 => b -> (fp, rowsIn) }
+      latestRows.collect { case (b, (fp, rowsIn, fpv))
+        if rowsIn > 0 && fpv == FingerprintVersion => b -> (fp, rowsIn) }
 
     val current = fps.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val pending = current.filter { case (b, fp, rows, _) =>
@@ -127,12 +158,13 @@ object Checkpoint {
         .withColumn("rows_out", lit(0L))
         .withColumn("job_run_id", lit(jobRunId))
         .withColumn("committed_seq", lit(nextSeq))
+        .withColumn("fp_version", lit(FingerprintVersion))
       io.write(tomb, manifestPath(outDir), SaveMode.Append)
     }
     // re-clean: every latest-tombstoned bucket (incl. ones just written and
     // any whose delete crashed mid-flight last run) — idempotent and
     // bounded by tombstone cardinality
-    val tombstoned = latestRows.collect { case (b, (_, rowsIn)) if rowsIn == 0 => b }
+    val tombstoned = latestRows.collect { case (b, (_, rowsIn, _)) if rowsIn == 0 => b }
     val toClean = (staleBuckets ++ tombstoned).distinct.filterNot(currentBuckets)
     if (toClean.nonEmpty)
       io.deletePartitions(spark, dataPath(outDir), "bucket", toClean.sorted)
@@ -153,6 +185,7 @@ object Checkpoint {
         .withColumn("rows_out", col("rows_in")) // kernel is total: one row out per row in
         .withColumn("job_run_id", lit(jobRunId))
         .withColumn("committed_seq", lit(nextSeq + 1L))
+        .withColumn("fp_version", lit(FingerprintVersion))
       io.write(manifest, manifestPath(outDir), SaveMode.Append)
     }
 

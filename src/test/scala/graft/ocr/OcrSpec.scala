@@ -245,6 +245,30 @@ class OcrSpec extends AnyFunSuite {
     assert(raw.text != lines.mkString("\n"))
   }
 
+  test("/BlackIs1 true composed with /Decode [1 0] is a net no-op (double inversion)") {
+    // spec-composable two-flag combination: BlackIs1 inverts the decoded
+    // bit convention (ccittGray), the generic /Decode [1 0] handler inverts
+    // the luminance again — the same G4 payload must read identically to
+    // the plain fixture, pinning the easy-to-regress doubled-inversion path
+    val lines = Vector("Double negative fax")
+    val bmp = GlyphRender.render(lines, noiseSeed = 9L, noisePerGap = 2)
+    val plain = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h, ccitt = true)
+    val composed = new String(plain, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/K -1", "/K -1 /BlackIs1 true")
+      .replace("/BitsPerComponent 1", "/BitsPerComponent 1 /Decode [ 1 0 ]")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val base = graft.pdf.PdfExtractor.extract(plain).toOption.get
+    val doc = graft.pdf.PdfExtractor.extract(composed).toOption.get
+    assert(base.text == lines.mkString("\n"), s"plain text='${base.text}'")
+    assert(doc.text == base.text, s"composed text='${doc.text}'")
+    // and each flag ALONE inverts: the single-BlackIs1 form must NOT read
+    // the same page (it sees a negative)
+    val only = new String(plain, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/K -1", "/K -1 /BlackIs1 true")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(graft.pdf.PdfExtractor.extract(only).toOption.get.text != base.text)
+  }
+
   test("/ImageMask true stencil (CCITT and Flate-packed) OCRs like 1-bit gray") {
     val lines = Vector("Stencil fax mask, 1994")
     val bmp = GlyphRender.render(lines, skew0 = -0.0125, noiseSeed = 4L, noisePerGap = 2)

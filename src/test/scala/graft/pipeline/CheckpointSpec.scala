@@ -253,9 +253,41 @@ class CheckpointSpec extends AnyFunSuite {
     Checkpoint.run(pages, out, ParquetIO, conf, "lineage-run", numBuckets = 8)
     val m = spark.read.parquet(Checkpoint.manifestPath(out))
     assert(m.columns.toSet == Set("bucket", "input_fingerprint", "rows_in",
-      "bytes_in", "rows_out", "job_run_id", "committed_seq"))
+      "bytes_in", "rows_out", "job_run_id", "committed_seq", "fp_version"))
     assert(m.where(col("job_run_id") === "lineage-run").count() == 8)
+    assert(m.where(col("fp_version") =!= Checkpoint.FingerprintVersion).count() == 0)
     val totals = m.agg(sum("rows_in")).collect()(0).getLong(0)
     assert(totals == 500L)
+  }
+
+  test("fingerprint-version break re-extracts once, explicitly, then settles") {
+    // a manifest written under an OLDER fingerprint formula (simulated
+    // both as rows with fp_version=1 and as a pre-version-column manifest
+    // with no fp_version at all) is not comparable to current
+    // fingerprints: the run must re-extract every bucket ONCE (a format
+    // break, not input drift) and the follow-up run must be a no-op
+    import spark.implicits._
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    Seq(true, false).foreach { withColumn =>
+      val out = freshDir()
+      Checkpoint.run(pages, out, ParquetIO, conf, "v2-run", numBuckets = 8)
+      // rewrite the manifest as the older format
+      val m = spark.read.parquet(Checkpoint.manifestPath(out)).collect()
+      val old = m.map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("input_fingerprint"),
+        r.getAs[Long]("rows_in"), r.getAs[Long]("bytes_in"), r.getAs[Long]("rows_out"),
+        r.getAs[String]("job_run_id"), r.getAs[Long]("committed_seq")))
+        .toSeq.toDF("bucket", "input_fingerprint", "rows_in", "bytes_in",
+          "rows_out", "job_run_id", "committed_seq")
+      val downgraded =
+        if (withColumn) old.withColumn("fp_version", lit(1)) else old
+      downgraded.write.mode("overwrite").parquet(Checkpoint.manifestPath(out))
+
+      val s = Checkpoint.run(pages, out, ParquetIO, conf, "after-break", numBuckets = 8)
+      assert(s.bucketsPending == s.bucketsTotal,
+        s"version break must recompute all buckets (withColumn=$withColumn): $s")
+      val s2 = Checkpoint.run(pages, out, ParquetIO, conf, "settled", numBuckets = 8)
+      assert(s2.bucketsPending == 0, s"second run must settle: $s2")
+    }
+    pages.unpersist()
   }
 }
