@@ -94,13 +94,22 @@ object SyntheticPages {
           proportional = typeset, face = face), dpiScale)
       // raster encodings rotate through the real-world scanned-PDF filter
       // mix: Flate (gray + RGB), DCTDecode/JPEG (gray + RGB) and
-      // CCITTFaxDecode G4 (bilevel) — all load-bearing in the golden gate
+      // CCITTFaxDecode (bilevel) — all load-bearing in the golden gate
       val enc = variant % 5
       val dct = enc == 2 || enc == 4
       val ccitt = enc == 3
       val rgb = !ccitt && (if (dct) enc == 4 else variant % 2 == 1)
       // half the CCITT stencils ship as /ImageMask (the fax-pipeline form)
       val mask = ccitt && (variant / 5) % 2 == 1
+      // the CCITT slice itself rotates the fax flavor: pure-2-D G4 (K=-1),
+      // 1-D G3 MH (K=0, byte-aligned — the TIFF-Compression-2 shape) and
+      // mixed-2-D G3 (K=4, EOL-framed) — the reference's poppler front end
+      // decodes all three (ocr_adapters.py:62), so the golden gate must too
+      val ccittK = if (!ccitt) -1 else ((variant / 15) % 3) match {
+        case 1 => 0
+        case 2 => 4
+        case _ => -1
+      }
       // the gray-Flate slice (variant % 10 == 0, lossless so recognition
       // stays byte-exact) rotates through realistic lighting: an
       // illumination gradient (photographed page, one margin shadowed) or
@@ -144,7 +153,7 @@ object SyntheticPages {
         else stGray
       Spec(urlOf(docId), Epoch + docId * 1000L,
         MiniPdf.buildScanned(samples, sw, sh, rgb, dct = dct,
-          ccitt = ccitt, mask = mask, rotate = quarter * 90),
+          ccitt = ccitt, mask = mask, rotate = quarter * 90, ccittK = ccittK),
         lines.mkString("\n"), lang)
     } else if (isBrokenDoc(docId)) {
       val junk = new java.lang.StringBuilder("%PDF-1.7\n")

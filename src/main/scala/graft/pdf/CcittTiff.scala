@@ -4,31 +4,45 @@ import java.awt.image.{BufferedImage, DataBufferByte}
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier, ImageWriteParam}
 
-/** CCITT Group 4 (ITU-T T.6) raster codec for `/CCITTFaxDecode` image
-  * XObjects — with DCTDecode the other filter real scanned PDFs embed
-  * (bilevel fax-class scans; the reference hands these to pdf2image,
-  * `ocr_adapters.py:62`).
+/** CCITT Group 4 (ITU-T T.6) and Group 3 (ITU-T T.4) raster codec for
+  * `/CCITTFaxDecode` image XObjects — with DCTDecode the other filter real
+  * scanned PDFs embed (bilevel fax-class scans; the reference hands these
+  * to pdf2image, `ocr_adapters.py:62`).
   *
-  * Strategy: no hand-transcribed T.4 run-length tables. A G4 stream is
-  * wrapped in a minimal single-strip TIFF container in memory and decoded
-  * by the JDK's own TIFF ImageIO plugin (present since Java 9, CCITT
-  * RLE/T.4/T.6 codecs included) — the MH/MR/MMR tables come from the JDK,
-  * so interop matches a production decoder rather than a self-consistent
-  * reimplementation. Encoding (fixtures) runs the same plugin in reverse
-  * and extracts the strip bytes back out of the container.
+  * Strategy: no hand-transcribed T.4/T.6 run-length tables. A fax stream
+  * is wrapped in a minimal single-strip TIFF container in memory and
+  * decoded by the JDK's own TIFF ImageIO plugin (present since Java 9,
+  * CCITT RLE/T.4/T.6 codecs included) — the MH/MR/MMR tables come from the
+  * JDK, so interop matches a production decoder rather than a
+  * self-consistent reimplementation. Encoding (fixtures) runs the same
+  * plugin in reverse and extracts the strip bytes back out of the
+  * container.
   *
-  * Scope: K < 0 (pure two-dimensional G4) — the overwhelming real-world
-  * case for scanned PDFs; G3 variants and EncodedByteAlign degrade to
+  * Fax shape ↔ TIFF tag mapping (PDF 1.7 §7.4.6 → TIFF 6.0 §11):
+  *  - K < 0  (pure 2-D G4)            → Compression 4, no T4Options;
+  *  - K = 0  (1-D MH, byte-aligned,
+  *            no EOLs)                → Compression 2 ("CCITT RLE");
+  *  - K = 0  with EOL codes           → Compression 3, T4Options bit 0
+  *            (+ fill bits if aligned)   clear (0 or 4);
+  *  - K > 0  (mixed 2-D with EOLs)    → Compression 3, T4Options bit 0
+  *                                       set (1 or 5).
+  * The one inexpressible shape is K = 0 without EOLs AND without byte
+  * alignment (TIFF Compression 2 requires row alignment) — it degrades to
   * no-OCR upstream. Total: every failure returns None, never throws.
   */
 object CcittTiff {
 
-  /** Minimal little-endian single-strip TIFF wrapping a raw G4 stream. */
-  def wrapTiff(g4: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(g4.length + 128)
+  /** Minimal little-endian single-strip TIFF wrapping a raw fax stream.
+    * `t4Options` (TIFF tag 292) is written only when ≥ 0 — required for
+    * Compression 3 to tell 1-D (bit 0 clear) from 2-D (bit 0 set) and
+    * whether EOLs carry fill bits (bit 2).
+    */
+  def wrapTiff(fax: Array[Byte], w: Int, h: Int, compression: Int = 4,
+               t4Options: Int = -1): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(fax.length + 160)
     def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
     def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
-    val nTags = 9
+    val nTags = if (t4Options >= 0) 10 else 9
     val stripOff = 8 + 2 + nTags * 12 + 4
     bos.write('I'); bos.write('I'); le16(42); le32(8)
     le16(nTags)
@@ -38,25 +52,34 @@ object CcittTiff {
     tag(256, 4, w)            // ImageWidth
     tag(257, 4, h)            // ImageLength
     tag(258, 3, 1)            // BitsPerSample
-    tag(259, 3, 4)            // Compression = CCITT T.6
+    tag(259, 3, compression)  // 2 = CCITT RLE, 3 = T.4, 4 = T.6
     tag(262, 3, 0)            // Photometric = WhiteIsZero (the CCITT norm)
     tag(273, 4, stripOff)     // StripOffsets
     tag(277, 3, 1)            // SamplesPerPixel
     tag(278, 4, h)            // RowsPerStrip (single strip)
-    tag(279, 4, g4.length)    // StripByteCounts
+    tag(279, 4, fax.length)   // StripByteCounts
+    if (t4Options >= 0) tag(292, 4, t4Options) // T4Options (id stays ascending)
     le32(0)                   // no next IFD
-    bos.write(g4, 0, g4.length)
+    bos.write(fax, 0, fax.length)
     bos.toByteArray
   }
 
-  /** G4 stream → 8-bit luminance (white 0xFF / black 0x00), or None on any
+  /** G4 stream → luminance (the pre-G3 entry point, kept for callers and
+    * fixtures that are G4-specific).
+    */
+  def decodeG4Gray(g4: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeCcittGray(g4, w, h, compression = 4, t4Options = -1)
+
+  /** Fax stream → 8-bit luminance (white 0xFF / black 0x00), or None on any
     * decode failure or dimension mismatch. The codec works in white/black
     * RUNS, so the result is true luminance independent of the PDF
     * `/BlackIs1` packed-bit convention (callers invert for BlackIs1=true).
     */
-  def decodeG4Gray(g4: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+  def decodeCcittGray(fax: Array[Byte], w: Int, h: Int, compression: Int,
+                      t4Options: Int): Option[Array[Byte]] = {
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(wrapTiff(g4, w, h)))
+      val img = ImageIO.read(new ByteArrayInputStream(
+        wrapTiff(fax, w, h, compression, t4Options)))
       if (img == null || img.getWidth != w || img.getHeight != h) return None
       // fast path: unpack the decoder's packed-bit buffer directly (the
       // Graphics2D conversion allocates and runs a ColorModel loop); the
@@ -77,11 +100,6 @@ object CcittTiff {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Fixture encoder: 8-bit luminance → raw G4 stream (threshold 128),
-    * via the JDK TIFF writer pinned to one strip (RowsPerStrip = h — G4
-    * strips code independently, so a multi-strip image would NOT
-    * concatenate into one valid PDF stream).
-    */
   /** Packed 1-bit rows (MSB-first, byte-aligned per row) → 8-bit luminance.
     * `whiteWhenSet`: a 1 bit is white (0xFF); else a 0 bit is white. The
     * single unpack loop shared by the G4 fast path and the PDF 1-bit /
@@ -106,7 +124,16 @@ object CcittTiff {
     Some(out)
   }
 
-  def encodeG4(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  def encodeG4(gray: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encodeCcitt(gray, w, h, "CCITT T.6")
+
+  /** Fixture encoder, any fax flavor: `compressionType` is the JDK TIFF
+    * writer's name ("CCITT T.6" = G4, "CCITT RLE" = G3 1-D byte-aligned
+    * MH without EOLs, "CCITT T.4" = G3 with EOLs — 2-D by writer default,
+    * `t4Options` ≥ 0 overrides, e.g. 0 for 1-D or 4 for 1-D+fill).
+    */
+  def encodeCcitt(gray: Array[Byte], w: Int, h: Int, compressionType: String,
+                  t4Options: Int = -1): Array[Byte] = {
     val bin = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
     var y = 0
     while (y < h) {
@@ -121,7 +148,7 @@ object CcittTiff {
     val writer = ImageIO.getImageWritersByFormatName("tiff").next()
     val p = writer.getDefaultWriteParam
     p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionType("CCITT T.6")
+    p.setCompressionType(compressionType)
     import javax.imageio.plugins.tiff._
     val meta = writer.getDefaultImageMetadata(
       ImageTypeSpecifier.createFromRenderedImage(bin), p)
@@ -130,6 +157,10 @@ object CcittTiff {
     dir.addTIFFField(new TIFFField(
       base.getTag(BaselineTIFFTagSet.TAG_ROWS_PER_STRIP),
       TIFFTag.TIFF_LONG, 1, Array[Long](h.toLong)))
+    if (t4Options >= 0)
+      dir.addTIFFField(new TIFFField(
+        base.getTag(BaselineTIFFTagSet.TAG_T4_OPTIONS),
+        TIFFTag.TIFF_LONG, 1, Array[Long](t4Options.toLong)))
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)

@@ -382,7 +382,7 @@ object MiniPdf {
   def buildScanned(samples: Array[Byte], w: Int, h: Int, rgb: Boolean = false,
                    padTo: Int = 1024, dct: Boolean = false,
                    ccitt: Boolean = false, mask: Boolean = false,
-                   rotate: Int = 0): Array[Byte] = {
+                   rotate: Int = 0, ccittK: Int = -1): Array[Byte] = {
     require(!(dct && ccitt) && !(ccitt && rgb), "ccitt is bilevel gray only")
     require(!mask || ccitt, "mask fixtures are CCITT stencils")
     require(rotate % 90 == 0, "/Rotate must be a multiple of 90")
@@ -396,9 +396,14 @@ object MiniPdf {
       "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
     val content = s"q $w 0 0 $h 72 ${720 - h} cm /Im0 Do Q"
     wr(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    // ccittK selects the fax flavor (PDF /K semantics): < 0 pure-2-D G4,
+    // 0 → 1-D G3 MH with byte-aligned rows ("CCITT RLE" — the
+    // EncodedByteAlign true form), > 0 → mixed-2-D G3 with EOLs
     val packed =
       if (dct) encodeJpeg(samples, w, h, rgb)
-      else if (ccitt) CcittTiff.encodeG4(samples, w, h)
+      else if (ccitt && ccittK < 0) CcittTiff.encodeG4(samples, w, h)
+      else if (ccitt && ccittK == 0) CcittTiff.encodeCcitt(samples, w, h, "CCITT RLE")
+      else if (ccitt) CcittTiff.encodeCcitt(samples, w, h, "CCITT T.4", t4Options = 1)
       else deflate(samples)
     // a mask is a color-space-less stencil (/ImageMask true); otherwise the
     // usual explicit ColorSpace + BitsPerComponent pair
@@ -408,7 +413,13 @@ object MiniPdf {
         s"/BitsPerComponent ${if (ccitt) 1 else 8} "
     val filter = if (dct) "/DCTDecode"
       else if (ccitt) "/CCITTFaxDecode" else "/FlateDecode"
-    val parms = if (ccitt) s"/DecodeParms << /K -1 /Columns $w /Rows $h >> " else ""
+    val parms =
+      if (ccitt && ccittK < 0) s"/DecodeParms << /K -1 /Columns $w /Rows $h >> "
+      else if (ccitt && ccittK == 0)
+        s"/DecodeParms << /K 0 /EncodedByteAlign true /Columns $w /Rows $h >> "
+      else if (ccitt)
+        s"/DecodeParms << /K $ccittK /EndOfLine true /Columns $w /Rows $h >> "
+      else ""
     wr(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
       colorDecl + s"/Filter $filter $parms" +
       s"/Length ${packed.length} >>\nstream\n")

@@ -341,9 +341,18 @@ object PdfExtractor {
       a.text + "\n" + b.text, a.glyphs + b.glyphs, a.matched + b.matched, a.skew)))
   }
 
-  /** CCITTFaxDecode image → luminance via [[CcittTiff]]. Scope: K < 0
-    * (Group 4), default EncodedByteAlign, Columns matching the dict width —
-    * the overwhelming real-world shape; anything else degrades to no-OCR.
+  /** CCITTFaxDecode image → luminance via [[CcittTiff]], covering the fax
+    * family real scanned PDFs carry (the reference's poppler rasterizer
+    * decodes the same set, ocr_adapters.py:62):
+    *  - K < 0: pure 2-D Group 4 (the overwhelming case) — rejects
+    *    EncodedByteAlign (a G4 stream with aligned rows is not expressible
+    *    as one TIFF T.6 strip);
+    *  - K = 0: 1-D Group 3 MH — byte-aligned-without-EOLs maps to TIFF
+    *    Compression 2, with-EOLs to Compression 3 (fill bits iff aligned);
+    *    the unaligned no-EOL form has no TIFF expression and degrades;
+    *  - K > 0: mixed 2-D Group 3 (per-row EOL + mode bit) → Compression 3
+    *    with T4Options bit 0 (+ fill bits iff aligned).
+    * Columns must match the dict width; anything else degrades to no-OCR.
     * BlackIs1 only flips the packed-bit convention, which the run-based
     * codec never sees — honoring it means inverting the luminance.
     */
@@ -354,9 +363,20 @@ object PdfExtractor {
       parms.flatMap(d => objs.num(d.m.getOrElse(key, PNull))).getOrElse(dflt)
     def bool(key: String): Boolean =
       parms.exists(_.m.get(key).contains(PBool(true)))
-    if (num("K", 0) >= 0 || num("Columns", 1728).toInt != w ||
-        bool("EncodedByteAlign")) return None
-    CcittTiff.decodeG4Gray(rawData(s, objs), w, h).map { g =>
+    if (num("Columns", 1728).toInt != w) return None
+    val k = num("K", 0)
+    val align = bool("EncodedByteAlign")
+    val eol = bool("EndOfLine")
+    val tags: Option[(Int, Int)] = // (TIFF Compression, T4Options or -1)
+      if (k < 0) { if (align) None else Some((4, -1)) }
+      else if (k == 0) {
+        if (eol) Some((3, if (align) 4 else 0))
+        else if (align) Some((2, -1))
+        else None
+      } else Some((3, if (align) 5 else 1))
+    tags.flatMap { case (comp, t4) =>
+      CcittTiff.decodeCcittGray(rawData(s, objs), w, h, comp, t4)
+    }.map { g =>
       if (bool("BlackIs1")) {
         var i = 0
         while (i < g.length) { g(i) = (~g(i)).toByte; i += 1 }

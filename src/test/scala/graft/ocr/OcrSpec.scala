@@ -319,6 +319,67 @@ class OcrSpec extends AnyFunSuite {
     assert(graft.pdf.CcittTiff.decodeG4Gray(Array.fill[Byte](64)(0x3A), 40, 40).isEmpty)
   }
 
+  test("CCITT G3 codec round-trips every TIFF-expressible fax shape") {
+    // (compressionType, writer t4Options, decode Compression, decode T4Options):
+    // RLE = 1-D MH byte-aligned no-EOL; T.4 t4=0/4 = 1-D with EOLs
+    // (bare / fill-bit-aligned); t4=1/5 = 2-D with EOLs (bare / aligned)
+    val shapes = Seq(
+      ("CCITT RLE", -1, 2, -1),
+      ("CCITT T.4", 0, 3, 0),
+      ("CCITT T.4", 4, 3, 4),
+      ("CCITT T.4", 1, 3, 1),
+      ("CCITT T.4", 5, 3, 5))
+    Seq((13, 9), (31, 17), (100, 3)).foreach { case (w, h) =>
+      val gray = Array.tabulate[Byte](w * h)(i =>
+        if ((graft.ops.Dedup.splitmix64(i * 77L + w) & 1L) == 0L) 0x00.toByte
+        else 0xFF.toByte)
+      shapes.foreach { case (ct, wOpts, comp, t4) =>
+        val strip = graft.pdf.CcittTiff.encodeCcitt(gray, w, h, ct, wOpts)
+        val back = graft.pdf.CcittTiff.decodeCcittGray(strip, w, h, comp, t4)
+        assert(back.exists(_.sameElements(gray)),
+          s"${w}x$h $ct t4=$wOpts round-trip via comp=$comp")
+      }
+    }
+    // garbage stream under each shape: total, None
+    shapes.foreach { case (_, _, comp, t4) =>
+      assert(graft.pdf.CcittTiff
+        .decodeCcittGray(Array.fill[Byte](64)(0x3A), 40, 40, comp, t4).isEmpty)
+    }
+  }
+
+  test("CCITTFaxDecode G3 scanned PDFs end-to-end: 1-D and 2-D rasters → OCR text") {
+    val lines = Vector("Group 3 fax, 1980!", "one and two dim")
+    val bmp = GlyphRender.render(lines, skew0 = -0.025, noiseSeed = 5L, noisePerGap = 2)
+    // K=0: 1-D MH, EncodedByteAlign true (the TIFF-Compression-2 shape)
+    val oneD = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h,
+      ccitt = true, ccittK = 0)
+    val s1 = new String(oneD, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s1.contains("/K 0") && s1.contains("/EncodedByteAlign true"))
+    val d1 = graft.pdf.PdfExtractor.extract(oneD).toOption.get
+    assert(d1.docType == "scanned")
+    assert(d1.text == lines.mkString("\n"), s"1-D text='${d1.text}'")
+    // K>0: mixed 2-D with EOL framing
+    val twoD = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h,
+      ccitt = true, ccittK = 4)
+    val s2 = new String(twoD, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s2.contains("/K 4") && s2.contains("/EndOfLine true"))
+    val d2 = graft.pdf.PdfExtractor.extract(twoD).toOption.get
+    assert(d2.text == lines.mkString("\n"), s"2-D text='${d2.text}'")
+    // G3 /ImageMask stencil (the fax-pipeline form) reads the same
+    val masked = new String(twoD, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/ColorSpace /DeviceGray", "/ImageMask true")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val dm = graft.pdf.PdfExtractor.extract(masked).toOption.get
+    assert(dm.text == lines.mkString("\n"), s"G3 mask text='${dm.text}'")
+    // the TIFF-inexpressible shape (K=0, no EOLs, no byte alignment)
+    // degrades to no-OCR rather than garbage
+    val unaligned = new String(oneD, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/EncodedByteAlign true ", "")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val du = graft.pdf.PdfExtractor.extract(unaligned).toOption.get
+    assert(du.text == "", s"unaligned K=0 must degrade, got '${du.text}'")
+  }
+
   test("CCITTFaxDecode scanned PDF end-to-end: G4 raster → OCR text") {
     val lines = Vector("Group 4 fax, 1987!", "bilevel but exact")
     val bmp = GlyphRender.render(lines, skew0 = 0.0125, noiseSeed = 9L, noisePerGap = 3)
