@@ -42,7 +42,7 @@ object ScalingBench {
   final case class Run(cores: Int, docs: Long, mb: Double,
                        narrowRaw: Seq[Double], shuffleRaw: Seq[Double],
                        loadStart: Double, loadEnd: Double,
-                       heapGb: Double = -1.0) {
+                       heapGb: Double = -1.0, slice: String = "all") {
     def narrowSec: Double = narrowRaw.min
     def shuffleSec: Double = shuffleRaw.min
   }
@@ -61,30 +61,36 @@ object ScalingBench {
       s""""narrow_raw":${seq(r.narrowRaw)},"shuffle_raw":${seq(r.shuffleRaw)},""" +
       s""""narrow_sec":${f(r.narrowSec)},"shuffle_sec":${f(r.shuffleSec)},""" +
       s""""load_start":${f(r.loadStart)},"load_end":${f(r.loadEnd)},""" +
-      s""""heap_gb":${f(r.heapGb)}}"""
+      s""""heap_gb":${f(r.heapGb)},"slice":"${r.slice}"}"""
 
   def main(args: Array[String]): Unit = {
     // "once" mode: one cluster size in a FRESH JVM (heap/JIT isolation),
     // full replicate evidence appended as one JSON line
     if (args.length > 0 && args(0) == "once") {
-      val r = runOnce(args(1).toInt, args(2), args(3).toInt)
+      // once <cores> <sfDir> <replicas> <outJson> [slice]
+      val slice = if (args.length > 5) args(5) else "all"
+      val r = runOnce(args(1).toInt, args(2), args(3).toInt, slice)
       val line = toJson(r)
-      Files.writeString(Paths.get(args(4)), line)
+      Files.writeString(Paths.get(io.PathGuard.checkWritable(args(4))), line)
       println(line)
       return
     }
     if (args.length > 0 && args(0) == "report") {
-      // report <jsonN> <json4N> [<jsonN2> <json4N2> ...] [sfDir]
-      val rest = args.drop(1)
+      // report [--out <path>] <jsonN> <json4N> [<jsonN2> <json4N2> ...] [sfDir]
+      var rest = args.drop(1)
+      var outPath = "BENCH/BASELINE.md" // the official report; attribution
+                                        // side-reports pass --out
+      val oi = rest.indexOf("--out")
+      if (oi >= 0) { outPath = rest(oi + 1); rest = rest.patch(oi, Nil, 2) }
       val (files, sfDir) =
         if (rest.length % 2 == 1) (rest.dropRight(1), rest.last)
         else (rest, "/root/testdata/sf0.1")
       require(files.length >= 2,
-        "usage: report <jsonN> <json4N> [<jsonN2> <json4N2> ...] [sfDir] — " +
+        "usage: report [--out <path>] <jsonN> <json4N> [...] [sfDir] — " +
           "needs at least one (N, 4N) JSON pair (an odd trailing arg is the sfDir)")
       val runs = files.map(parse)
       emit(runs.grouped(2).map { case Array(a, b) => (a, b) }.toSeq,
-        sfDir, freshJvms = true)
+        sfDir, freshJvms = true, outPath = outPath)
       return
     }
     val n = if (args.length > 0) args(0).toInt else 8
@@ -96,7 +102,8 @@ object ScalingBench {
   }
 
   /** One session at `cores`: measure narrow and shuffle variants. */
-  private def runOnce(cores: Int, sfDir: String, replicas: Int): Run = {
+  private def runOnce(cores: Int, sfDir: String, replicas: Int,
+                      slice: String = "all"): Run = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"scaling-$cores")
@@ -114,7 +121,7 @@ object ScalingBench {
       // averages out per-partition cost differences (PDF docs cost more
       // than HTML ones).
       val pages = io.SyntheticPages
-        .fromDocuments(spark, sfDir, replicas, partitions = 128)
+        .fromDocuments(spark, sfDir, replicas, partitions = 128, slice = slice)
         .cache()
       val docs = pages.count() // generation + cache fill, untimed
       val bytes = pages.agg(sum(length(col("html")))).collect()(0).getLong(0)
@@ -137,7 +144,7 @@ object ScalingBench {
         s"shuffle=${seq(shuffleRaw)} load=$loadStart->$loadEnd")
       pages.unpersist()
       Run(cores, docs, bytes / 1048576.0, narrowRaw, shuffleRaw, loadStart, loadEnd,
-        Runtime.getRuntime.maxMemory / 1073741824.0)
+        Runtime.getRuntime.maxMemory / 1073741824.0, slice)
     } finally spark.stop()
   }
 
@@ -149,11 +156,13 @@ object ScalingBench {
     val arrays = "\"(\\w+)\":\\[([0-9.,]*)\\]".r.findAllMatchIn(txt)
       .map(m => m.group(1) ->
         m.group(2).split(',').filter(_.nonEmpty).map(_.toDouble).toSeq).toMap
+    val strings = "\"(\\w+)\":\"([^\"]*)\"".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toMap
     Run(scalars("cores").toInt, scalars("docs").toLong, scalars("mb"),
       arrays.getOrElse("narrow_raw", Seq(scalars("narrow_sec"))),
       arrays.getOrElse("shuffle_raw", Seq(scalars("shuffle_sec"))),
       scalars.getOrElse("load_start", -1.0), scalars.getOrElse("load_end", -1.0),
-      scalars.getOrElse("heap_gb", -1.0))
+      scalars.getOrElse("heap_gb", -1.0), strings.getOrElse("slice", "all"))
   }
 
   /** Render BENCH/BASELINE.md from the measured (N, 4N) pairs — the ONLY
@@ -166,16 +175,22 @@ object ScalingBench {
     pairs.foreach { case (a, b) =>
       require(b.cores == 4 * a.cores, s"need 4x cores, got ${a.cores} vs ${b.cores}")
       require(a.docs == b.docs, s"inputs differ: ${a.docs} vs ${b.docs}")
+      require(a.slice == b.slice, s"corpus slices differ: ${a.slice} vs ${b.slice}")
     }
     val h = pairs.head._1
     def loads(r: Run) =
       if (r.loadStart < 0) "n/a" else s"${f(r.loadStart)}→${f(r.loadEnd)}"
     def heap(r: Run) = if (r.heapGb < 0) "n/a" else f(r.heapGb)
     def reps(xs: Seq[Double]) = xs.map(f).mkString(" ")
+    val slices = pairs.map(_._1.slice).distinct
+    val sliceNote =
+      if (slices == Seq("all")) ""
+      else s"\nCorpus slice(s) under measurement: ${slices.mkString(", ")} " +
+        "(route-restricted corpus for scaling attribution; see per-window rows).\n"
     val repRows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       Seq(a, b).flatMap(r => Seq(
-        s"| ${i + 1} | ${r.cores} | ${heap(r)} | narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
-        s"| ${i + 1} | ${r.cores} | ${heap(r)} | shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
+        s"| ${i + 1} | ${r.cores} | ${heap(r)} | ${r.slice}/narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
+        s"| ${i + 1} | ${r.cores} | ${heap(r)} | ${r.slice}/shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
     }.mkString("\n")
     val gates = pairs.map { case (a, b) =>
       val thrN = a.docs / a.narrowSec; val thr4 = b.docs / b.narrowSec
@@ -216,7 +231,7 @@ object ScalingBench {
          |wide size with young-GC pauses a real 4N cluster never sees (its
          |memory grows 4x with the executors). Actual per-JVM heap is
          |recorded in the replicate table.
-         |
+         |%SLICENOTE%
          |## Replicates (every timed run, seconds; min = least-contended estimate
          |under ambient box load — this report is tool-generated, nothing elided)
          |
@@ -254,9 +269,11 @@ object ScalingBench {
          |
          |Hardware: ${Runtime.getRuntime.availableProcessors}-thread box.
          |""".stripMargin
+        .replace("%SLICENOTE%", sliceNote)
         .replace("%REPROWS%", repRows)
         .replace("%HEADLINE%", headline)
         .replace("%SHUFFLEROWS%", shuffleRows)
+    io.PathGuard.checkWritable(outPath)
     Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outPath), report)
     val g = gates.map { case (a, b, _, _, eff, effS) =>

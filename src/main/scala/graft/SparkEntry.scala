@@ -715,7 +715,15 @@ object SparkEntry {
       |    CASE WHEN knw = 0 THEN 5 + idlen
       |         ELSE kchars + (knw - nlines) + (nlines - 1) END AS tlen,
       |    0 AS ntab,
-      |    100.0 AS conf,
+    |    -- the alien-face slices (generator: typeset slot with (v/4)%4=0
+      |    -- or fixed slot with (v/4)%4=2; native DPI; lossless encodings
+      |    -- only) read every glyph '?' -> matchRate 0 -> conf 0; text
+      |    -- LENGTH and word count are invariant under the '?' map
+      |    CASE WHEN (((id // 50) % 4 = 2 AND ((id // 50) // 4) % 4 = 0)
+      |               OR ((id // 50) % 4 = 0 AND ((id // 50) // 4) % 4 = 2))
+      |              AND (id // 50) % 7 NOT IN (5, 6)
+      |              AND (id // 50) % 5 NOT IN (2, 4)
+      |         THEN 0.0 ELSE 100.0 END AS conf,
       |    CASE WHEN knw = 0 THEN 2 ELSE knw END AS words,
       |    'pdf' AS charset
       |  FROM (

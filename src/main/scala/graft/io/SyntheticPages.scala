@@ -83,10 +83,31 @@ object SyntheticPages {
       val dpiScale = (variant % 7) match { case 5 => 2; case 6 => 3; case _ => 1 }
       // a quarter of the scans are typeset (proportional pitch) rather than
       // typewriter fixed-pitch, and half of those set in the bold face —
-      // the recognizer auto-detects pitch mode and typeface per page
+      // the recognizer auto-detects pitch mode and typeface per page.
+      // One sub-slot of each pitch mode renders in the UNSEEN "alien" face
+      // instead — out-of-universe input measuring the open-world degrade:
+      // every glyph reads '?' (OcrSpec gates hamming ≥ 3 from every known
+      // template), spacing/lines stay exact, and confidence drops to 0,
+      // below the reference's 60.0 threshold
+      // (domain/constants/__init__.py:12). The golden ENCODES the degrade.
+      // Excluded from alien (those slots keep their previous face):
+      //  - 2×/3×-DPI slots — an unreadable decimated pass falls through to
+      //    the k=1 read of the upscaled raster, whose spacing is
+      //    scale-dependent (outside the spec-predictable form);
+      //  - DCT/JPEG slots — the checkerboard-dense alien glyphs are
+      //    worst-case high-frequency content for JPEG, whose ringing
+      //    crosses the binarization threshold and fabricates ink runs
+      //    (observed: spurious punctuation matches); the degrade
+      //    measurement wants a lossless raster, so alien ships Flate and
+      //    CCITT only
       val typeset = variant % 4 == 2
+      val losslessEnc = { val e = variant % 5; e != 2 && e != 4 }
+      val alien = dpiScale == 1 && losslessEnc &&
+        ((typeset && (variant / 4) % 4 == 0) ||
+          (variant % 4 == 0 && (variant / 4) % 4 == 2))
       val face =
-        if (typeset && (variant / 4) % 2 == 1) graft.ocr.GlyphFont.Bold
+        if (alien) graft.ocr.GlyphFont.Alien
+        else if (typeset && (variant / 4) % 2 == 1) graft.ocr.GlyphFont.Bold
         else graft.ocr.GlyphFont.Base
       val bmp = graft.ocr.GlyphRender.upscale(
         graft.ocr.GlyphRender.render(lines, skew,
@@ -154,7 +175,11 @@ object SyntheticPages {
       Spec(urlOf(docId), Epoch + docId * 1000L,
         MiniPdf.buildScanned(samples, sw, sh, rgb, dct = dct,
           ccitt = ccitt, mask = mask, rotate = quarter * 90, ccittK = ccittK),
-        lines.mkString("\n"), lang)
+        // alien golden = the degrade itself: every glyph '?', structure kept
+        if (alien)
+          lines.map(_.map(c => if (c == ' ') c else '?')).mkString("\n")
+        else lines.mkString("\n"),
+        lang)
     } else if (isBrokenDoc(docId)) {
       val junk = new java.lang.StringBuilder("%PDF-1.7\n")
       var x = docId
@@ -282,10 +307,17 @@ object SyntheticPages {
     * `replicas` > 1 amplifies the corpus deterministically for throughput
     * benchmarks: variant v of doc d gets id `d * replicas + v` and a
     * v-rotated word stream (distinct content, same statistical shape).
+    *
+    * `slice` restricts the generated corpus by ROUTE (scaling-attribution
+    * benchmarks, VERDICT r4 directive 1): "all" (default), "text" (the
+    * HTML/native-PDF diet — scanned and broken docs excluded) or "scan"
+    * (ONLY the pixel-OCR docs). Filtering happens before payload
+    * synthesis, so a slice costs nothing to skip.
     */
   def fromDocuments(spark: SparkSession, sfDir: String, replicas: Int = 1,
-                    partitions: Int = 0): DataFrame = {
+                    partitions: Int = 0, slice: String = "all"): DataFrame = {
     import spark.implicits._
+    require(Set("all", "text", "scan")(slice), s"unknown corpus slice: $slice")
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
@@ -294,11 +326,19 @@ object SyntheticPages {
       .mapPartitions(_.flatMap { case (id, text0, lang0) =>
         val text = if (text0 == null) "" else text0
         val lang = if (lang0 == null) "en" else lang0
-        (0 until replicas).iterator.map { v =>
+        (0 until replicas).iterator.flatMap { v =>
           val vid = id * replicas + v
-          val vtext = if (v == 0) text else rotateWords(text, v)
-          val s = pageFor(vid, vtext, lang)
-          Page(s.url, new Timestamp(s.tsMillis), s.payload, s.golden, s.lang)
+          val keep = slice match {
+            case "text" => !isScannedDoc(vid) && !isBrokenDoc(vid)
+            case "scan" => isScannedDoc(vid)
+            case _ => true
+          }
+          if (!keep) None
+          else {
+            val vtext = if (v == 0) text else rotateWords(text, v)
+            val s = pageFor(vid, vtext, lang)
+            Some(Page(s.url, new Timestamp(s.tsMillis), s.payload, s.golden, s.lang))
+          }
         }
       })
       .toDF()

@@ -38,18 +38,18 @@ object ParquetIO extends TableIO {
     spark.read.option("mergeSchema", "true").parquet(table)
 
   def write(df: DataFrame, table: String, mode: SaveMode): Unit =
-    df.write.mode(mode).parquet(table)
+    df.write.mode(mode).parquet(PathGuard.checkWritable(table))
 
   def overwritePartitions(df: DataFrame, table: String, partitionCol: String): Unit =
     df.write
       .option("partitionOverwriteMode", "dynamic") // per-write, no session mutation
       .partitionBy(partitionCol)
       .mode(SaveMode.Overwrite)
-      .parquet(table)
+      .parquet(PathGuard.checkWritable(table))
 
   def deletePartitions(spark: SparkSession, table: String, partitionCol: String,
                        keys: Seq[Int]): Unit = {
-    val base = new org.apache.hadoop.fs.Path(table)
+    val base = new org.apache.hadoop.fs.Path(PathGuard.checkWritable(table))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     keys.foreach { k =>
       val p = new org.apache.hadoop.fs.Path(base, s"$partitionCol=$k")

@@ -209,4 +209,26 @@ object GlyphFont {
 
   /** Faces the recognizer knows. Order matters: ties go to the earliest. */
   val Faces: Vector[Face] = Vector(Base, Bold)
+
+  /** An OUT-OF-UNIVERSE face the recognizer does NOT know (deliberately
+    * absent from [[Faces]]): Base with every cell row XOR'd against a
+    * checkerboard — an adversarially jittered rendering maximally far from
+    * the known template sets. Purpose: measure the open-world degrade. The
+    * reference's Tesseract reports honest low confidence on faces outside
+    * its trained models and the 60.0 threshold consumes it
+    * (`domain/constants/__init__.py:12`, `system_config.py:21-31`); this
+    * engine's analogue is a scanned page whose every glyph reads `?` with
+    * matchRate 0 → confidence 0. That degrade is SPEC-PREDICTABLE (the
+    * corpus golden encodes it) because OcrSpec gates, for every alien
+    * glyph: one contiguous column run, leftmost ink column ≤ 2, ≥ 3 inked
+    * rows for letters/digits, and hamming ≥ 3 from every known template of
+    * the same trimmed (w, h) class — so segmentation and spacing stay
+    * exact while every match fails with margin.
+    */
+  val Alien: Face = {
+    val cb = Array(0x15, 0x0A, 0x15, 0x0A, 0x15, 0x0A, 0x15)
+    Face("alien", W, rows.map { case (c, rs) =>
+      c -> Array.tabulate(H)(r => rs(r) ^ cb(r))
+    })
+  }
 }

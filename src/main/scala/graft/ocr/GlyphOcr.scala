@@ -379,14 +379,35 @@ object GlyphOcr {
     * wins, ties to the smallest k (deterministic). Cost ≤ maxScale
     * recognize passes, paid only on the ~2% scanned slice.
     */
+  /** A decimated (k > 1) pass may early-exit the search only on a PERFECT
+    * read of at least this many glyphs: each extra perfectly-matching
+    * glyph is an independent template coincidence, so a decimation fluke
+    * clearing 8 is not a realistic event, while a true 2×/3× page of any
+    * substance clears it trivially (shorter true high-DPI pages still
+    * win — they just pay the remaining passes and prevail on match rate).
+    */
+  val PerfectExitGlyphs = 8
+
+  /** A decimated pass must read at least half its glyphs to be a CANDIDATE
+    * at all: the "this page is k×-DPI" hypothesis is only credible if the
+    * decimated read substantially succeeds. Without the floor, a
+    * native-resolution page outside the template universe (an unseen face,
+    * photographed text) would lose to any decimation fluke matching a few
+    * tiny blobs — nonzero rate beats zero — and return garbage; with it,
+    * such pages deterministically fall through to the k=1 read, whose
+    * `?`-runs keep line/space structure and report matchRate 0 (the honest
+    * low confidence the reference gets from Tesseract and thresholds at
+    * 60.0, `domain/constants/__init__.py:12`).
+    */
+  val DecimatedMinRate = 0.5
+
   def recognizeAutoScale(gray: Array[Byte], w: Int, h: Int,
                          maxScale: Int = 3): OcrResult = {
-    // descending k with early exit on a perfect pass OF ≥ 3 GLYPHS: a
-    // downsampled try costs 1/k² of the full-resolution one, so a 3×-DPI
-    // page is settled by its cheapest pass and never pays the 9×-pixel
-    // k=1 recognize; a native-resolution page pays ~(1 + Σ 1/k²) ≈ 1.36×
-    // one pass. The glyph floor keeps a decimated blob that flukes into
-    // one tiny template from short-circuiting the real pass. Ties on
+    // descending k, early exit on a perfect decimated pass of ≥
+    // PerfectExitGlyphs glyphs: a downsampled try costs 1/k² of the
+    // full-resolution one, so a substantial 3×-DPI page is settled by its
+    // cheapest pass and never pays the 9×-pixel k=1 recognize; a
+    // native-resolution page pays ~(1 + Σ 1/k²) ≈ 1.36× one pass. Ties on
     // (rate, glyphs): prefer the k=1 interpretation — a perfect k=1 read
     // cannot be a decimation artifact (it sees the actual pixels, and
     // higher-DPI glyphs exceed the template width so they can't fake it) —
@@ -413,10 +434,11 @@ object GlyphOcr {
             recognize(ds, wk, hk)
           }
         }
-      if (r.matchRate == 1.0 && r.glyphs >= 3) return r
-      if (best == null || r.matchRate > best.matchRate ||
+      if (k > 1 && r.matchRate == 1.0 && r.glyphs >= PerfectExitGlyphs) return r
+      val eligible = k == 1 || (r.matchRate >= DecimatedMinRate && r.glyphs >= 3)
+      if (eligible && (best == null || r.matchRate > best.matchRate ||
           (r.matchRate == best.matchRate &&
-            (r.glyphs > best.glyphs || (r.glyphs == best.glyphs && k == 1))))
+            (r.glyphs > best.glyphs || (r.glyphs == best.glyphs && k == 1)))))
         best = r
       k -= 1
     }

@@ -76,10 +76,11 @@ object GlyphRender {
   def render(lines: Seq[String], skew0: Double = 0.0, noiseSeed: Long = 0L,
              noisePerGap: Int = 0, proportional: Boolean = false,
              face: GlyphFont.Face = GlyphFont.Base): Bitmap = {
-    // bold glyphs are as wide as the fixed-pitch cell (zero gap would merge
-    // adjacent runs), so non-base faces render proportionally only
-    require((face eq GlyphFont.Base) || proportional,
-      s"face ${face.name} requires proportional layout")
+    // a face as wide as the fixed-pitch cell (bold: 6 columns, zero gap
+    // would merge adjacent runs) can only render proportionally; any
+    // narrower face (base, alien) works in either layout
+    require(face.width < Pitch || proportional,
+      s"face ${face.name} (width ${face.width}) requires proportional layout")
     // snap to the recognizer's candidate grid BIT-EXACTLY (the same Double,
     // not just the same value): round(s*x) flips at half-integer products,
     // so a slope differing in the last ulp would shear one pixel row apart
@@ -139,8 +140,8 @@ object GlyphRender {
           var row = 0
           while (row < H) {
             var col = 0
-            while (col < W) {
-              if (ink(c, col, row)) put(Margin + k * Pitch + col, top + row)
+            while (col < face.width) {
+              if (face.ink(c, col, row)) put(Margin + k * Pitch + col, top + row)
               col += 1
             }
             row += 1

@@ -34,8 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** @param sharedShingles an already-built (and typically persisted)
+    *   [[Dedup.shingleSets]] frame (`id` long, `sh`) to reuse instead of
+    *   re-tokenizing `docs` — the production pairing runs curation right
+    *   after MinHash dedup on the SAME corpus, and the shingle scratch is
+    *   the expensive artifact (one full tokenize pass). The frame's `id`
+    *   must equal this call's dedup key: `idCol` cast to long for a
+    *   numeric-id corpus (i.e. the d04-d07 scratch verbatim), else
+    *   `xxhash64(idCol)`. It must cover every row of `docs` (a superset is
+    *   correct, just wasted candidate work). Caller keeps ownership:
+    *   curate persists/releases only scratch it builds itself.
+    */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-             dupTau: Double = 0.5, minQuality: Double = 60.0): DataFrame = {
+             dupTau: Double = 0.5, minQuality: Double = 60.0,
+             sharedShingles: Option[DataFrame] = None): DataFrame = {
     // the dedup stack keys on Long ids, but the pipeline's own doc_id is a
     // sha256 HEX STRING — casting that to long yields null and the typed
     // shingle path dies. Non-numeric ids key internally on xxhash64(id)
@@ -50,7 +62,9 @@ object Curation {
     // one tokenize pass feeds signatures AND exact verification; the
     // signatures persist too (minhashCandidates reads them three times —
     // banding + both sides of the verify join)
-    val sh = Dedup.shingleSets(keyed, "__cid", textCol).persist()
+    val ownScratch = sharedShingles.isEmpty
+    val sh = sharedShingles.getOrElse(
+      Dedup.shingleSets(keyed, "__cid", textCol).persist())
     val sigs = Dedup.signaturesFromSets(sh).persist()
     val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
       .select("id_a", "id_b")
@@ -79,7 +93,7 @@ object Curation {
         verified.checkpoint()
       else verified.localCheckpoint()
     sigs.unpersist()
-    sh.unpersist()
+    if (ownScratch) sh.unpersist()
 
     docs.select(
         (if (idIsNumeric) col(idCol).cast("long") else col(idCol)).as("doc_id"),

@@ -118,6 +118,7 @@ object Similarity {
     * build-side intermediate.
     */
   def writeIvf(index: IvfIndex, path: String): Unit = {
+    graft.io.PathGuard.checkWritable(path)
     val spark = index.assigned.sparkSession
     import spark.implicits._
     index.assigned.write.mode("overwrite").partitionBy("list_id")

@@ -24,6 +24,8 @@ object IncrementalExtract {
   def start(spark: SparkSession, inDir: String, outDir: String,
             checkpointDir: String, conf: PipelineConf = PipelineConf(),
             availableNow: Boolean = true): StreamingQuery = {
+    graft.io.PathGuard.checkWritable(outDir)
+    graft.io.PathGuard.checkWritable(checkpointDir)
     val pages = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[graft.model.Page].schema)
       .parquet(inDir)

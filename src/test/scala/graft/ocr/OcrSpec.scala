@@ -641,17 +641,94 @@ class OcrSpec extends AnyFunSuite {
     assert(a2.text == GlyphOcr.recognize(full.gray, full.w, full.h).text)
   }
 
+  test("alien face: invariants that make the open-world degrade spec-predictable") {
+    // the alien face is OUT-OF-UNIVERSE (not in GlyphFont.Faces); the
+    // degrade is predictable — one '?' per glyph, spacing intact — iff:
+    // (1) every glyph is one contiguous column run; (2) leftmost ink
+    // column ≤ 2; (3) letters/digits span ≥ 3 rows (band floor); (4) every
+    // glyph is hamming ≥ 3 from EVERY known template of its trimmed
+    // (w, h) class, so even a ±1-bit raster corruption cannot reach the
+    // hamming-≤1 accept threshold
+    val alien = GlyphFont.Alien
+    assert(!GlyphFont.Faces.contains(alien))
+    def trimmedBits(face: Face, c: Char): (Int, Int, Vector[Boolean]) = {
+      val (lo, hi) = face.trim(c)
+      val (rlo, rhi) = face.rowTrim(c)
+      ((hi - lo + 1), (rhi - rlo + 1),
+        (for (row <- rlo to rhi; col <- lo to hi) yield face.ink(c, col, row)).toVector)
+    }
+    val known = for { f <- GlyphFont.Faces; c <- Chars }
+      yield { val (w, h, bits) = trimmedBits(f, c); (f.name, c, w, h, bits) }
+    Chars.foreach { c =>
+      val (w, h, bits) = trimmedBits(alien, c)
+      assert(bits.exists(identity), s"'$c' empty")
+      assert(w <= W, s"'$c' wider than cell")
+      val (lo, hi) = alien.trim(c)
+      assert(lo <= 2, s"'$c' leftmost col $lo")
+      (lo to hi).foreach { col =>
+        assert((0 until H).exists(alien.ink(c, col, _)), s"'$c' gap col $col")
+      }
+      if (Character.isLetterOrDigit(c))
+        assert((0 until H).count(r => (0 until W).exists(alien.ink(c, _, r))) >= 3,
+          s"'$c' under band floor")
+      known.filter(k => k._3 == w && k._4 == h).foreach { case (fn, kc, _, _, kb) =>
+        val d = bits.zip(kb).count { case (a, b) => a != b }
+        assert(d >= 3, s"alien '$c' within hamming $d of $fn '$kc'")
+      }
+    }
+  }
+
+  test("alien face page degrades to '?' runs with matchRate 0, confidence < 60") {
+    val lines = Vector("Unknown typeface here", "second line, 42")
+    val bmp = GlyphRender.render(lines, skew0 = 0.0125, noiseSeed = 7L,
+      noisePerGap = 2, proportional = true, face = GlyphFont.Alien)
+    val want = lines.map(_.map(c => if (c == ' ') c else '?')).mkString("\n")
+    val res = GlyphOcr.recognizeAutoScale(bmp.gray, bmp.w, bmp.h)
+    assert(res.text == want, s"got '${res.text}'")
+    assert(res.matched == 0 && res.glyphs > 0)
+    // end-to-end: the scanned PDF reports honest low confidence — below
+    // the reference's 60.0 threshold (domain/constants/__init__.py:12),
+    // where a recognizer-seen page reports 100
+    val pdf = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.docType == "scanned")
+    assert(doc.text == want)
+    assert(doc.confidence == 0.0 && doc.confidence < 60.0)
+    // fixed-pitch (typewriter) alien page: cell-grid spacing inference
+    // must survive the unknown face too
+    val fbmp = GlyphRender.render(lines, skew0 = -0.025, noiseSeed = 3L,
+      noisePerGap = 2, face = GlyphFont.Alien)
+    val fres = GlyphOcr.recognizeAutoScale(fbmp.gray, fbmp.w, fbmp.h)
+    assert(fres.text == want, s"fixed-pitch got '${fres.text}'")
+    assert(fres.matched == 0)
+  }
+
+  test("autoScale: short true-2x pages still read exactly (no decimated early exit)") {
+    // below PerfectExitGlyphs the decimated pass cannot early-exit; the
+    // k=1 pass runs and must LOSE to the perfect decimated candidate
+    // (giant glyphs exceed template width at k=1 → rate 0)
+    val lines = Vector("Hi 5")
+    val bmp = GlyphRender.upscale(GlyphRender.render(lines), 2)
+    val res = GlyphOcr.recognizeAutoScale(bmp.gray, bmp.w, bmp.h)
+    assert(res.text == "Hi 5", s"got '${res.text}'")
+    assert(res.matchRate == 1.0 && res.glyphs < GlyphOcr.PerfectExitGlyphs)
+  }
+
   test("synthetic scanned corpus pages OCR back to their golden byte-exactly") {
     // ids cover variants 0-9: every raster encoding (Flate gray/RGB, JPEG
-    // gray/RGB, CCITT G4), DPI scales 1/2/3, all skew/noise rotations;
+    // gray/RGB, CCITT), DPI scales 1/2/3, all skew/noise rotations;
     // 517/1017 are the gray-Flate lighting variants (faded low-contrast at
     // variant 10, illumination gradient at 3×-DPI variant 20); 317 is bold
     // typeset gray-Flate at 3×-DPI, 717 bold typeset JPEG-RGB, and 1517
     // (variant 30) stacks bold typeset WITH faded low-contrast lighting
     // (bold ∧ Flate-RGB is unreachable: bold needs variant ≡ 6 mod 8, even,
-    // while Flate-RGB needs variant odd)
+    // while Flate-RGB needs variant odd). ALIEN-face slots — 417 (variant
+    // 8: fixed-pitch, G4 /ImageMask stencil), 917 (variant 18: typeset,
+    // G3-1-D mask) and 2517 (variant 50: typeset, faded gray-Flate) — have
+    // '?'-mapped degrade goldens, so this also pins the open-world
+    // behavior byte-exactly (DCT and 2×/3×-DPI slots never render alien)
     val ids = Seq(17L, 67L, 117L, 167L, 217L, 267L, 317L, 367L, 417L, 467L,
-      517L, 717L, 1017L, 1517L)
+      517L, 717L, 917L, 1017L, 1517L, 2517L)
     ids.foreach { id =>
       val spec = graft.io.SyntheticPages.pageFor(id,
         "palabras de prueba numero " + id + " con mas contenido util aqui", "es")

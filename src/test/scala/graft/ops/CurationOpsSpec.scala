@@ -28,6 +28,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out("c" * 64) != "dup")
   }
 
+  test("curate with caller-supplied shingle scratch matches the self-built path") {
+    // the production pairing: MinHash dedup and curation in one session
+    // over the same corpus — the tokenize pass (shingleSets) is paid once
+    // and shared. Verdicts must be identical to the self-built path, and
+    // curate must NOT release the caller's scratch.
+    val body = "one two three four five six seven eight nine ten eleven " * 6
+    val docs = Seq(
+      (10L, body + "tail alpha"),
+      (11L, body + "tail alpha"),  // near-dup pair: larger id loses
+      (12L, "totally different content about rivers mountains weather " +
+        "markets harvests travels letters music gardens seasons " * 5))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text").persist()
+    try {
+      val shared = Curation.curate(docs, sharedShingles = Some(sh))
+        .orderBy("doc_id").collect().toSeq
+      val own = Curation.curate(docs).orderBy("doc_id").collect().toSeq
+      assert(shared == own)
+      val v = shared.map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(Seq(v(10L), v(11L)).count(_ == "dup") == 1, s"verdicts: $v")
+      assert(v(12L) != "dup")
+      assert(sh.storageLevel.useMemory, "curate released the caller's scratch")
+    } finally sh.unpersist()
+  }
+
   test("chunkWords: 12-word chunks, remainder kept, 1-based slicing") {
     val df = Seq("a b c", ("w " * 25).trim).toDF("t")
     val out = df.select(ParaDedup.chunkWords(col("t"), 12).as("c"))

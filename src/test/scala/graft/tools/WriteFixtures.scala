@@ -8,10 +8,8 @@ import graft.pdf.MiniPdf
   */
 object WriteFixtures {
   def main(args: Array[String]): Unit = {
-    val dir = Paths.get(if (args.nonEmpty) args(0) else "/tmp/graft-fixtures")
-    require(!dir.toAbsolutePath.toString.startsWith("/root/testdata") &&
-      !dir.toAbsolutePath.toString.startsWith("/root/reference"),
-      s"refusing to write into read-only data dir: $dir")
+    val dir = Paths.get(graft.io.PathGuard.checkWritable(
+      if (args.nonEmpty) args(0) else "/tmp/graft-fixtures"))
     Files.createDirectories(dir)
     val pdf = MiniPdf.build(Seq(
       MiniPdf.streamFor(Seq(("Page one body line", 72, 700), ("second line", 72, 680))),

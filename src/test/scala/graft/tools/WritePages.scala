@@ -9,8 +9,7 @@ object WritePages {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: WritePages <sfDir> <outDir>")
     val Array(sfDir, outDir) = args
-    require(!outDir.startsWith("/root/testdata") && !outDir.startsWith("/root/reference"),
-      s"refusing to write into read-only data dir: $outDir")
+    graft.io.PathGuard.checkWritable(outDir)
     val spark = graft.TestSpark.spark
     graft.io.SyntheticPages.fromDocuments(spark, sfDir)
       .write.mode("overwrite").parquet(outDir)
