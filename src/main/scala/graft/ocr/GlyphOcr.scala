@@ -45,6 +45,61 @@ object GlyphOcr {
     */
   val SkewCandidates: Vector[Double] = (-8 to 8).map(_ * 0.00625).toVector
 
+  /** Per-thread reusable page-sized buffers. The scanned slice allocates
+    * several MB per page (decode output, un-rotation copy, decimation
+    * buffers, the un-shear grid) and at wide core counts that allocation +
+    * zeroing traffic saturates the shared memory bus before the cores do:
+    * the route-sliced scaling run measured 4→16-core efficiency 0.45 on a
+    * scan-only corpus vs 0.82 on the full mix (BENCH/ATTRIBUTION_r5.md).
+    * Buffers live per executor thread (Spark tasks are single-threaded per
+    * partition) and are reused across pages; anything above [[OcrScratch.MaxReuse]]
+    * elements is allocated fresh and NOT retained, bounding the per-thread
+    * footprint. The byte slots are only handed to writers that overwrite
+    * every element they later read, so no clearing is ever paid; the grid
+    * keeps an all-false invariant restored by un-setting exactly the ink
+    * cells each call set (~5% of cells — 20× cheaper than re-zeroing).
+    */
+  private[graft] final class OcrScratch {
+    import OcrScratch.MaxReuse
+    private var a = Array.emptyByteArray   // decode output slot
+    private var b = Array.emptyByteArray   // un-rotation slot
+    private var d = Array.emptyByteArray   // decimation slot
+    private[ocr] var inkXY = new Array[Int](1024)
+    private var cnt: Array[Int] = Array.emptyIntArray
+    private var grid: Array[Boolean] = Array.emptyBooleanArray // all-false between uses
+    private[ocr] val runBits = new Array[Int](GlyphFont.H)
+    private[graft] def decodeBuf(n: Int): Array[Byte] =
+      if (a.length >= n) a
+      else if (n > MaxReuse) new Array[Byte](n)
+      else { a = new Array[Byte](n); a }
+    private[graft] def rotateBuf(n: Int): Array[Byte] =
+      if (b.length >= n) b
+      else if (n > MaxReuse) new Array[Byte](n)
+      else { b = new Array[Byte](n); b }
+    private[ocr] def dsBuf(n: Int): Array[Byte] =
+      if (d.length >= n) d
+      else if (n > MaxReuse) new Array[Byte](n)
+      else { d = new Array[Byte](n); d }
+    private[ocr] def countsBuf(n: Int): Array[Int] =
+      if (cnt.length >= n) cnt
+      else if (n > MaxReuse) new Array[Int](n)
+      else { cnt = new Array[Int](n); cnt }
+    private[ocr] def gridBuf(n: Int): Array[Boolean] =
+      if (grid.length >= n) grid
+      else if (n > MaxReuse) new Array[Boolean](n)
+      else { grid = new Array[Boolean](n); grid }
+  }
+  private[graft] object OcrScratch {
+    /** Retention cap (elements): a page at the 2²⁶-pixel dict gate would
+      * otherwise pin ~64 MB per slot per thread forever; pages past the cap
+      * pay the one-off allocation instead (rare — the synthetic 3×-DPI page
+      * is ~2.7 M cells).
+      */
+    val MaxReuse: Int = 1 << 23
+    val local: ThreadLocal[OcrScratch] =
+      ThreadLocal.withInitial(() => new OcrScratch)
+  }
+
   final case class OcrResult(text: String, glyphs: Int, matched: Int, skew: Double) {
     def matchRate: Double = if (glyphs == 0) 0.0 else matched.toDouble / glyphs
   }
@@ -152,9 +207,10 @@ object GlyphOcr {
     // its extraction wall, dominated by exactly these full-image passes.
     // (The tile min/max pre-pass adds one more read of the page — still
     // O(pixels), no allocation beyond the tiny tile grid.)
+    val scratch = OcrScratch.local.get
     val (thr, tw) = tileThresholds(gray, w, h)
     var nInk = 0
-    var inkXY: Array[Int] = new Array[Int](1024) // packed y*w+x, grown on demand
+    var inkXY: Array[Int] = scratch.inkXY // packed y*w+x, grown on demand
     locally {
       var y = 0
       while (y < h) {
@@ -162,7 +218,10 @@ object GlyphOcr {
         var x = 0
         while (x < w) {
           if ((gray(y * w + x) & 0xFF) < thr(rowBase + (x >> TileShift))) {
-            if (nInk == inkXY.length) inkXY = java.util.Arrays.copyOf(inkXY, nInk * 2)
+            if (nInk == inkXY.length) {
+              inkXY = java.util.Arrays.copyOf(inkXY, nInk * 2)
+              scratch.inkXY = inkXY
+            }
             inkXY(nInk) = y * w + x
             nInk += 1
           }
@@ -176,9 +235,10 @@ object GlyphOcr {
     var bestSkew = 0.0
     var bestScore = -1L
     val pad = math.abs(math.round(SkewCandidates.last * (w - 1)).toInt) + 1
-    val counts = new Array[Int](h + 2 * pad)
+    val nRows = h + 2 * pad
+    val counts = scratch.countsBuf(nRows) // fill/read windowed to [0, nRows)
     SkewCandidates.foreach { s =>
-      java.util.Arrays.fill(counts, 0)
+      java.util.Arrays.fill(counts, 0, nRows, 0)
       var k = 0
       while (k < nInk) {
         val p = inkXY(k)
@@ -187,16 +247,20 @@ object GlyphOcr {
       }
       var score = 0L
       var i = 0
-      while (i < counts.length) { val c = counts(i); score += c.toLong * c; i += 1 }
+      while (i < nRows) { val c = counts(i); score += c.toLong * c; i += 1 }
       val better = score > bestScore ||
         (score == bestScore && (math.abs(s) < math.abs(bestSkew) ||
           (math.abs(s) == math.abs(bestSkew) && s < bestSkew)))
       if (better) { bestScore = score; bestSkew = s }
     }
 
-    // 3: un-shear into a binary grid (integer-exact inverse of the shear)
+    // 3: un-shear into a binary grid (integer-exact inverse of the shear).
+    // The grid comes from scratch under an all-false invariant; the
+    // `finally` below restores it by un-setting exactly the cells this
+    // call sets (the ink list mapped through bestSkew — deterministic, so
+    // the clear hits precisely the written cells even on an early return).
     val gh = h + 2 * pad
-    val grid = new Array[Boolean](w * gh)
+    val grid = scratch.gridBuf(w * gh)
     locally {
       var k = 0
       while (k < nInk) {
@@ -206,6 +270,7 @@ object GlyphOcr {
         k += 1
       }
     }
+    try {
     @inline def rowHasInk(r: Int): Boolean = {
       var x = 0
       while (x < w) { if (grid(r * w + x)) return true; x += 1 }
@@ -281,7 +346,7 @@ object GlyphOcr {
     val matchedChars: Vector[Option[Char]] = faceTemplates
       .map { case (face, ts) =>
         flatRuns.map { case (top, bot, x, e) =>
-          matchGlyph(grid, w, top, bot, x, e, ts, face.width)
+          matchGlyph(grid, w, top, bot, x, e, ts, face.width, scratch)
         }
       }
       .maxBy(_.count(_.isDefined))
@@ -318,6 +383,15 @@ object GlyphOcr {
       }
     }
     OcrResult(sb.toString, glyphs, matched, bestSkew)
+    } finally {
+      var k = 0
+      while (k < nInk) {
+        val p = inkXY(k)
+        val x = p % w
+        grid((p / w - GlyphRender.shift(bestSkew, x) + pad) * w + x) = false
+        k += 1
+      }
+    }
   }
 
   /** Nearest trimmed template of the run [x0, x1] × its own ink-row box
@@ -329,7 +403,7 @@ object GlyphOcr {
   private def matchGlyph(grid: Array[Boolean], w: Int, top: Int, bot: Int,
                          x0: Int, x1: Int,
                          templates: Vector[(Char, Int, Int, Array[Int])],
-                         maxW: Int): Option[Char] = {
+                         maxW: Int, scratch: OcrScratch): Option[Char] = {
     val width = x1 - x0 + 1
     if (width > maxW) return None
     // run's own ink-row bounding box (vertical trim, mirroring the templates)
@@ -345,14 +419,19 @@ object GlyphOcr {
     if (rTop < 0) return None
     val height = rBot - rTop + 1
     if (height > H) return None
-    val runBits = Array.tabulate(height) { row =>
+    // height ≤ H, so the fixed H-length scratch row buffer always fits;
+    // rows [0, height) are overwritten before the compare loop reads them
+    val runBits = scratch.runBits
+    var row0 = 0
+    while (row0 < height) {
       var bits = 0
       var col = 0
       while (col < width) {
-        if (grid((rTop + row) * w + x0 + col)) bits |= 1 << col
+        if (grid((rTop + row0) * w + x0 + col)) bits |= 1 << col
         col += 1
       }
-      bits
+      runBits(row0) = bits
+      row0 += 1
     }
     var best: Char = 0
     var bestDist = Int.MaxValue
@@ -424,7 +503,9 @@ object GlyphOcr {
           val hk = h / k
           if (wk <= 0 || hk <= 0) OcrResult("", 0, 0, 0.0)
           else {
-            val ds = new Array[Byte](wk * hk)
+            // scratch slot: every element of [0, wk*hk) is written below
+            // before recognize reads it
+            val ds = OcrScratch.local.get.dsBuf(wk * hk)
             var y = 0
             while (y < hk) {
               var x = 0
@@ -457,7 +538,26 @@ object GlyphOcr {
                quarterTurns: Int): (Array[Byte], Int, Int) = {
     val t = ((quarterTurns % 4) + 4) % 4
     if (t == 0 || w <= 0 || h <= 0 || gray.length < w * h) return (gray, w, h)
-    val out = new Array[Byte](w * h)
+    rotateInto(gray, w, h, t, new Array[Byte](w * h))
+  }
+
+  /** [[rotateCW]] writing into the thread's rotation scratch slot — the
+    * pipeline variant (one full-page copy per rotated scan otherwise).
+    * `gray` must not itself be the rotation slot: it may be the decode
+    * slot, a fresh decode array, or caller-owned memory.
+    */
+  private[graft] def rotateCWScratch(gray: Array[Byte], w: Int, h: Int,
+                                     quarterTurns: Int): (Array[Byte], Int, Int) = {
+    val t = ((quarterTurns % 4) + 4) % 4
+    if (t == 0 || w <= 0 || h <= 0 || gray.length < w * h) return (gray, w, h)
+    rotateInto(gray, w, h, t, OcrScratch.local.get.rotateBuf(w * h))
+  }
+
+  /** The rotation is a bijection of [0, w*h), so `out` is fully overwritten
+    * — safe for reused scratch with no clearing.
+    */
+  private def rotateInto(gray: Array[Byte], w: Int, h: Int, t: Int,
+                         out: Array[Byte]): (Array[Byte], Int, Int) = {
     var y = 0
     while (y < h) {
       var x = 0
@@ -478,8 +578,17 @@ object GlyphOcr {
   /** RGB (3 bytes/px, interleaved) → 8-bit luminance (reference E4's
     * grayscale convert, integer 299/587/114 weights).
     */
-  def rgbToGray(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](w * h)
+  def rgbToGray(rgb: Array[Byte], w: Int, h: Int): Array[Byte] =
+    rgbToGrayInto(rgb, w, h, new Array[Byte](w * h))
+
+  /** [[rgbToGray]] into the thread's decode scratch slot (pipeline variant;
+    * `rgb` is a fresh stream-decode array, never the decode slot itself).
+    */
+  private[graft] def rgbToGrayScratch(rgb: Array[Byte], w: Int, h: Int): Array[Byte] =
+    rgbToGrayInto(rgb, w, h, OcrScratch.local.get.decodeBuf(w * h))
+
+  private def rgbToGrayInto(rgb: Array[Byte], w: Int, h: Int,
+                            out: Array[Byte]): Array[Byte] = {
     var i = 0
     while (i < w * h) {
       val lum = ((rgb(3 * i) & 0xFF) * 299 + (rgb(3 * i + 1) & 0xFF) * 587 +

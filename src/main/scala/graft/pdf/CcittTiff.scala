@@ -76,7 +76,7 @@ object CcittTiff {
     * `/BlackIs1` packed-bit convention (callers invert for BlackIs1=true).
     */
   def decodeCcittGray(fax: Array[Byte], w: Int, h: Int, compression: Int,
-                      t4Options: Int): Option[Array[Byte]] = {
+                      t4Options: Int, dest: Array[Byte] = null): Option[Array[Byte]] = {
     try {
       val img = ImageIO.read(new ByteArrayInputStream(
         wrapTiff(fax, w, h, compression, t4Options)))
@@ -89,7 +89,7 @@ object CcittTiff {
           if img.getType == BufferedImage.TYPE_BYTE_BINARY && icm.getMapSize >= 2 =>
           val d = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
           val white0 = (icm.getRed(0) & 0xFF) >= 128
-          unpackBilevel(d, w, h, whiteWhenSet = !white0)
+          unpackBilevel(d, w, h, whiteWhenSet = !white0, dest = dest)
         case _ =>
           val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
           val g = gray.createGraphics()
@@ -106,10 +106,13 @@ object CcittTiff {
     * ImageMask raster path — stride/bit-order fixes land in one place.
     */
   def unpackBilevel(packed: Array[Byte], w: Int, h: Int,
-                    whiteWhenSet: Boolean): Option[Array[Byte]] = {
+                    whiteWhenSet: Boolean,
+                    dest: Array[Byte] = null): Option[Array[Byte]] = {
     val stride = (w + 7) / 8
     if (packed.length < stride.toLong * h) return None
-    val out = new Array[Byte](w * h)
+    // `dest` (reused scratch) is fully overwritten on [0, w*h)
+    val out = if (dest != null && dest.length >= w * h) dest
+              else new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       var x = 0

@@ -305,7 +305,7 @@ object PdfExtractor {
             if (bits == 1 && (cs == "DeviceGray" || isMask)) unpack1Bit(raw, w, h)
             else if (bits == 8 && cs == "DeviceGray" && raw.length >= w * h) Some(raw)
             else if (bits == 8 && cs == "DeviceRGB" && raw.length >= 3 * w * h)
-              Some(graft.ocr.GlyphOcr.rgbToGray(raw, w, h))
+              Some(graft.ocr.GlyphOcr.rgbToGrayScratch(raw, w, h))
             else None // 2/4-bit/CMYK/ICC images: no OCR, page stays empty
           }
         // /Decode [1 0] (PDF 1.7 §8.9.5.2): sample values are inverted
@@ -321,8 +321,10 @@ object PdfExtractor {
           case _ => false
         }
         val lum = if (!inverted) gray else gray.map { g =>
+          // bound by the page extent, not g.length: g may be a reused
+          // scratch buffer longer than this page
           var i = 0
-          while (i < g.length) { g(i) = (~g(i)).toByte; i += 1 }
+          while (i < w * h) { g(i) = (~g(i)).toByte; i += 1 }
           g
         }
         // /Rotate (inheritable): rotated scans are everyday input — portrait
@@ -331,7 +333,7 @@ object PdfExtractor {
         // nothing. Then auto-scale: scans arrive at 1-3× the font's native
         // DPI (reference profiles 150/300/600, system_config.py:19-33)
         lum.map { g =>
-          val (rg, rw, rh) = graft.ocr.GlyphOcr.rotateCW(g, w, h, rot)
+          val (rg, rw, rh) = graft.ocr.GlyphOcr.rotateCWScratch(g, w, h, rot)
           graft.ocr.GlyphOcr.recognizeAutoScale(rg, rw, rh)
         }
       }
@@ -375,11 +377,12 @@ object PdfExtractor {
         else None
       } else Some((3, if (align) 5 else 1))
     tags.flatMap { case (comp, t4) =>
-      CcittTiff.decodeCcittGray(rawData(s, objs), w, h, comp, t4)
+      CcittTiff.decodeCcittGray(rawData(s, objs), w, h, comp, t4,
+        dest = graft.ocr.GlyphOcr.OcrScratch.local.get.decodeBuf(w * h))
     }.map { g =>
       if (bool("BlackIs1")) {
         var i = 0
-        while (i < g.length) { g(i) = (~g(i)).toByte; i += 1 }
+        while (i < w * h) { g(i) = (~g(i)).toByte; i += 1 }
       }
       g
     }
@@ -389,7 +392,29 @@ object PdfExtractor {
     * (DeviceGray max), 0 = black. Shared unpack loop in [[CcittTiff]].
     */
   private def unpack1Bit(packed: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
-    CcittTiff.unpackBilevel(packed, w, h, whiteWhenSet = true)
+    CcittTiff.unpackBilevel(packed, w, h, whiteWhenSet = true,
+      dest = graft.ocr.GlyphOcr.OcrScratch.local.get.decodeBuf(w * h))
+
+  /** Per-thread JPEG decode scratch: one cached reader instance plus
+    * reusable destination images keyed by (BufferedImage type, w, h).
+    * Without the destination, ImageIO allocates a fresh raster per page —
+    * up to 3·w·h bytes, the single biggest allocation on the scanned
+    * route, and allocation bandwidth is what caps wide-executor scaling
+    * (BENCH/ATTRIBUTION_r5.md). The destination is created from the
+    * reader's FIRST legal image type — exactly the type the decoder would
+    * otherwise allocate itself — so a type mismatch cannot occur on the
+    * happy path; a defensive fallback decodes fresh if it ever does.
+    */
+  private final class JpegScratch {
+    val reader: javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+      if (it.hasNext) it.next() else null
+    }
+    val dests = scala.collection.mutable.HashMap
+      .empty[(Int, Int, Int), java.awt.image.BufferedImage]
+  }
+  private val jpegScratch: ThreadLocal[JpegScratch] =
+    ThreadLocal.withInitial(() => new JpegScratch)
 
   /** JPEG bytes → 8-bit luminance samples (None on decode failure or a
     * dict/JPEG dimension mismatch). Gray JPEGs pass through; color ones
@@ -398,34 +423,59 @@ object PdfExtractor {
     */
   private def jpegGray(data: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     try {
+      val js = jpegScratch.get
+      val reader = js.reader
+      if (reader == null) return None
       // check the JPEG's OWN header dimensions BEFORE decoding: the dict
       // gate caps declared w×h, but a crafted payload with small dict dims
       // and huge internal dims would otherwise allocate its full raster
       // inside ImageIO.read before we could compare
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(data))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return None }
-      val reader = readers.next()
       val img =
         try {
           reader.setInput(iis)
           if (reader.getWidth(0) != w || reader.getHeight(0) != h) return None
-          reader.read(0)
-        } finally { reader.dispose(); iis.close() }
+          val param = reader.getDefaultReadParam
+          val types = reader.getImageTypes(0)
+          val spec = if (types != null && types.hasNext) types.next() else null
+          if (spec != null) {
+            val t = spec.getBufferedImageType
+            if (t == java.awt.image.BufferedImage.TYPE_BYTE_GRAY ||
+                t == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+              if (js.dests.size > 8) js.dests.clear() // bound retained rasters
+              param.setDestination(
+                js.dests.getOrElseUpdate((t, w, h), spec.createBufferedImage(w, h)))
+            }
+          }
+          try reader.read(0, param)
+          catch {
+            case scala.util.control.NonFatal(_) if param.getDestination != null =>
+              // defensive: a destination the decoder rejects — decode fresh
+              // (prior behavior) rather than degrade the page
+              param.setDestination(null)
+              val iis2 = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(data))
+              try { reader.setInput(iis2); reader.read(0, param) }
+              finally iis2.close()
+          }
+        } finally { reader.setInput(null); iis.close() }
       if (img == null) return None
       val n = w * h
-      val out = new Array[Byte](n)
+      val out = graft.ocr.GlyphOcr.OcrScratch.local.get.decodeBuf(n)
       // fast paths read the decoder's backing byte buffer directly — the
       // getSamples API would copy each band into a fresh int[w*h] (~2 MB of
       // churn per 3×-DPI color page), and allocation bandwidth is exactly
       // what stops wide executors scaling
       img.getType match {
         case java.awt.image.BufferedImage.TYPE_BYTE_GRAY =>
+          // hand the decoder's backing buffer straight out — it is fully
+          // overwritten by the next decode into this (possibly cached)
+          // image, and nothing downstream outlives the page
           val d = img.getRaster.getDataBuffer
             .asInstanceOf[java.awt.image.DataBufferByte].getData
           if (d.length < n) return None
-          System.arraycopy(d, 0, out, 0, n)
+          return Some(d)
         case java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
           val d = img.getRaster.getDataBuffer
             .asInstanceOf[java.awt.image.DataBufferByte].getData
