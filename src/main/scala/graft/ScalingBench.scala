@@ -76,12 +76,19 @@ object ScalingBench {
       return
     }
     if (args.length > 0 && args(0) == "report") {
-      // report [--out <path>] <jsonN> <json4N> [<jsonN2> <json4N2> ...] [sfDir]
+      // report [--out <path>] [--note <text>] <jsonN> <json4N> [...] [sfDir]
       var rest = args.drop(1)
       var outPath = "BENCH/BASELINE.md" // the official report; attribution
                                         // side-reports pass --out
       val oi = rest.indexOf("--out")
       if (oi >= 0) { outPath = rest(oi + 1); rest = rest.patch(oi, Nil, 2) }
+      // --note: verbatim text appended as a Notes section — passed on the
+      // command line so the report stays fully tool-written and the note's
+      // provenance is the invocation itself (e.g. a pointer to the raw
+      // attribution JSONs of the same batch)
+      var note = ""
+      val ni = rest.indexOf("--note")
+      if (ni >= 0) { note = rest(ni + 1); rest = rest.patch(ni, Nil, 2) }
       val (files, sfDir) =
         if (rest.length % 2 == 1) (rest.dropRight(1), rest.last)
         else (rest, "/root/testdata/sf0.1")
@@ -90,7 +97,7 @@ object ScalingBench {
           "needs at least one (N, 4N) JSON pair (an odd trailing arg is the sfDir)")
       val runs = files.map(parse)
       emit(runs.grouped(2).map { case Array(a, b) => (a, b) }.toSeq,
-        sfDir, freshJvms = true, outPath = outPath)
+        sfDir, freshJvms = true, outPath = outPath, note = note)
       return
     }
     val n = if (args.length > 0) args(0).toInt else 8
@@ -171,7 +178,7 @@ object ScalingBench {
     * within its window only.
     */
   def emit(pairs: Seq[(Run, Run)], sfDir: String, freshJvms: Boolean,
-           outPath: String = "BENCH/BASELINE.md"): Unit = {
+           outPath: String = "BENCH/BASELINE.md", note: String = ""): Unit = {
     pairs.foreach { case (a, b) =>
       require(b.cores == 4 * a.cores, s"need 4x cores, got ${a.cores} vs ${b.cores}")
       require(a.docs == b.docs, s"inputs differ: ${a.docs} vs ${b.docs}")
@@ -189,8 +196,8 @@ object ScalingBench {
         "(route-restricted corpus for scaling attribution; see per-window rows).\n"
     val repRows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       Seq(a, b).flatMap(r => Seq(
-        s"| ${i + 1} | ${r.cores} | ${heap(r)} | ${r.slice}/narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
-        s"| ${i + 1} | ${r.cores} | ${heap(r)} | ${r.slice}/shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
+        s"| ${i + 1} | ${r.cores} | ${r.docs} | ${heap(r)} | ${r.slice}/narrow | ${loads(r)} | ${reps(r.narrowRaw)} | ${f(r.narrowSec)} |",
+        s"| ${i + 1} | ${r.cores} | ${r.docs} | ${heap(r)} | ${r.slice}/shuffle | ${loads(r)} | ${reps(r.shuffleRaw)} | ${f(r.shuffleSec)} |"))
     }.mkString("\n")
     val gates = pairs.map { case (a, b) =>
       val thrN = a.docs / a.narrowSec; val thr4 = b.docs / b.narrowSec
@@ -222,7 +229,9 @@ object ScalingBench {
          |Job: SyntheticPages.fromDocuments($sfDir, replicas) -> Extract (typed
          |mapPartitions kernel: charset detect -> HTML tokenizer/boilerplate or
          |PDF span parse / pixel OCR -> confidence) -> count.
-         |Input: ${h.docs} pages, ${f(h.mb)} MiB HTML+PDF payload, cached,
+         |Input: ${h.docs} pages, ${f(h.mb)} MiB HTML+PDF payload in window 1
+         |(per-window page counts in the replicate table — the corpus replica
+         |factor may vary by window; each pair compares identical input), cached,
          |fixed 128 input partitions at every size (a table's bucketing does not
          |change with cluster size). JIT warm-up paid untimed in every JVM.
          |JVM sizing mirrors a real executor: heap and GC threads scale with
@@ -235,8 +244,8 @@ object ScalingBench {
          |## Replicates (every timed run, seconds; min = least-contended estimate
          |under ambient box load — this report is tool-generated, nothing elided)
          |
-         || window | cores | heap GiB | variant | load avg start→end | replicates (s) | min |
-         ||---|---|---|---|---|---|---|
+         || window | cores | docs | heap GiB | variant | load avg start→end | replicates (s) | min |
+         ||---|---|---|---|---|---|---|---|
          |%REPROWS%
          |
          |## Headline: pre-partitioned input (the 100 TB design)
@@ -268,7 +277,7 @@ object ScalingBench {
          |via ingest-time bucketing (headline above).
          |
          |Hardware: ${Runtime.getRuntime.availableProcessors}-thread box.
-         |""".stripMargin
+         |${if (note.nonEmpty) s"\n## Notes\n\n$note\n" else ""}""".stripMargin
         .replace("%SLICENOTE%", sliceNote)
         .replace("%REPROWS%", repRows)
         .replace("%HEADLINE%", headline)

@@ -738,4 +738,35 @@ class OcrSpec extends AnyFunSuite {
       assert(res.text == spec.golden, s"id=$id got '${res.text}' want '${spec.golden}'")
     }
   }
+
+  test("scratch reuse is invisible: interleaved pages reproduce fresh-thread results") {
+    // The kernel's page buffers live in a per-thread OcrScratch reused
+    // across pages (grid under an all-false invariant, byte slots
+    // overwrite-before-read). A stale-state bug would show as a page
+    // reading differently AFTER a different page ran on the same thread.
+    // Pin: big page → small page → big page on one thread equals each
+    // page recognized on its own fresh thread, across sizes that force
+    // buffer growth and distinct ink patterns.
+    def onFreshThread[A](body: => A): A = {
+      var out: Option[A] = None
+      val t = new Thread(() => { out = Some(body) })
+      t.start(); t.join()
+      out.get
+    }
+    val big = GlyphRender.upscale(GlyphRender.render(Vector(
+      "The quick brown fox jumps over 13 lazy dogs!",
+      "SECOND LINE with MIXED case and (punct); ok?",
+      "abcdefghijklmnopqrstuvwxyz 0123456789")), 3)
+    val small = GlyphRender.render(Vector("tiny page 1"), skew0 = 0.025,
+      noiseSeed = 7L, noisePerGap = 2)
+    val mid = GlyphRender.render(Vector("Middle size page, two words more",
+      "and a second line"), skew0 = -0.0375)
+    def run(b: GlyphRender.Bitmap) = GlyphOcr.recognizeAutoScale(b.gray, b.w, b.h)
+    val fresh = Seq(big, small, mid).map(b => onFreshThread(run(b)))
+    val interleaved = onFreshThread(Seq(big, small, mid, big, small, mid).map(run))
+    assert(interleaved.take(3) == fresh, "first pass diverged from fresh-thread runs")
+    assert(interleaved.drop(3) == fresh, "repeat pass diverged (stale scratch state)")
+    // and all of them must actually read the text (non-degenerate pin)
+    assert(fresh.forall(r => r.glyphs > 0 && r.matchRate == 1.0))
+  }
 }
