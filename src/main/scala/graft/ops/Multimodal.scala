@@ -43,6 +43,54 @@ object Multimodal {
   val FrameW = 16
   val FrameH = 12
 
+  /** Per-thread ImageIO scratch: cached PNG reader/writer instances.
+    * `ImageIO.read`/`write` re-instantiate a plugin and re-scan the
+    * registry on every call — across hundreds of thousands of small
+    * assets that setup dominates the pixel work itself (the assets are
+    * 16–40 px tiles). The reader fast path applies only to payloads
+    * carrying the PNG magic; anything else falls back to the
+    * auto-detecting generic path, so behavior on non-PNG bytes (BMP/GIF/
+    * JPEG or garbage) is unchanged.
+    */
+  private final class IoScratch {
+    val reader: javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (it.hasNext) it.next() else null
+    }
+    val writer: javax.imageio.ImageWriter = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+      if (it.hasNext) it.next() else null
+    }
+  }
+  private val ioScratch: ThreadLocal[IoScratch] =
+    ThreadLocal.withInitial(() => new IoScratch)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && b(0) == 0x89.toByte && b(1) == 0x50 && b(2) == 0x4E && b(3) == 0x47
+
+  /** `ImageIO.read` with the cached PNG reader on the magic-gated fast
+    * path (throws on undecodable input like the generic path can — every
+    * caller already catches).
+    */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = ioScratch.get.reader
+    if (r != null && isPng(payload)) {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try { r.setInput(iis); r.read(0) } finally { r.setInput(null); iis.close() }
+    } else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+  }
+
+  /** `ImageIO.write(img, "png", …)` with the cached writer. */
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = ioScratch.get.writer
+    if (w == null) { javax.imageio.ImageIO.write(img, "png", bos); return bos.toByteArray }
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(img) } finally { w.setOutput(null); ios.close() }
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic assets derived from doc ids (no external data):
     * kind rotates image/audio/video; image payloads are real PNGs, audio
     * payloads real PCM WAVs, video payloads GMJ1 containers of real
@@ -88,9 +136,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   /** MJPEG-style container of REAL PNG frames: `GMJ1` magic, then per frame
@@ -165,7 +211,7 @@ object Multimodal {
     */
   def decodeImageCounts(payload: Array[Byte]): Option[Decoded] = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val bins = new Array[Long](16)
@@ -348,7 +394,7 @@ object Multimodal {
       if (a.kind != "image") a
       else {
         val decoded =
-          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload)))
+          try Option(readImage(a.payload))
           catch { case NonFatal(_) => None }
         decoded match {
           case Some(img) if img.getWidth > maxW || img.getHeight > maxH =>
@@ -362,9 +408,7 @@ object Multimodal {
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(img, 0, 0, nw, nh, null)
             g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(outImg, "png", bos)
-            a.copy(payload = bos.toByteArray, width = nw, height = nh)
+            a.copy(payload = writePng(outImg), width = nw, height = nh)
           case Some(img) => a.copy(width = img.getWidth, height = img.getHeight)
           case None => a
         }
