@@ -295,6 +295,10 @@ object PdfExtractor {
         // CCITTFaxDecode G4 payloads go through the in-JDK TIFF codec
         // (CcittTiff). Only the sole-filter forms are handled (a fax/JPEG
         // inside a second compression layer does not occur in practice).
+        // JBIG2Decode and JPXDecode have no in-JDK codec (the reference
+        // rides poppler's bundled decoders) — DOCUMENTED degrade: the
+        // unsupported stream yields no OCR and the page reads empty at
+        // confidence 0 (OcrSpec pins this path never throws).
         val filters = filterNames(s, objs)
         val gray: Option[Array[Byte]] =
           if (filters == Vector("DCTDecode"))

@@ -217,6 +217,28 @@ class OcrSpec extends AnyFunSuite {
     assert(doc.text == "")
   }
 
+  test("JBIG2Decode / JPXDecode rasters degrade to empty scanned text, never throw") {
+    // real-world fax/JPEG2000 filters with no in-JDK codec (the reference
+    // rides poppler's bundled decoders, ocr_adapters.py:62) — the
+    // DOCUMENTED degrade: classification still sees an image-only page,
+    // the unsupported stream yields no OCR, and confidence stays at 0,
+    // under the reference's 60.0 threshold
+    val lines = Vector("No codec for this one")
+    val bmp = GlyphRender.render(lines)
+    val plain = graft.pdf.MiniPdf.buildScanned(bmp.gray, bmp.w, bmp.h)
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    Seq("/JBIG2Decode", "/JPXDecode").foreach { f =>
+      val doc = new String(plain, iso).replace("/FlateDecode", f).getBytes(iso)
+      val res = graft.pdf.PdfExtractor.extract(doc).toOption.get
+      assert(res.text == "", s"$f text='${res.text}'")
+      assert(res.confidence < 60.0, s"$f confidence=${res.confidence}")
+    }
+    // and the untouched fixture reads — the degrade above is the filter,
+    // not the fixture
+    assert(graft.pdf.PdfExtractor.extract(plain).toOption.get.text ==
+      lines.mkString("\n"))
+  }
+
   test("image-only PDF without decodable samples keeps the old empty degrade") {
     // 4-bit image: documented no-OCR case — empty text, scanned class
     val pdf = graft.pdf.MiniPdf.buildScanned(Array.fill[Byte](8)(0x55), 8, 8)
