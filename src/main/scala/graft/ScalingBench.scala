@@ -81,14 +81,20 @@ object ScalingBench {
       var outPath = "BENCH/BASELINE.md" // the official report; attribution
                                         // side-reports pass --out
       val oi = rest.indexOf("--out")
-      if (oi >= 0) { outPath = rest(oi + 1); rest = rest.patch(oi, Nil, 2) }
+      if (oi >= 0) {
+        require(oi + 1 < rest.length, "--out needs a path argument")
+        outPath = rest(oi + 1); rest = rest.patch(oi, Nil, 2)
+      }
       // --note: verbatim text appended as a Notes section — passed on the
       // command line so the report stays fully tool-written and the note's
       // provenance is the invocation itself (e.g. a pointer to the raw
       // attribution JSONs of the same batch)
       var note = ""
       val ni = rest.indexOf("--note")
-      if (ni >= 0) { note = rest(ni + 1); rest = rest.patch(ni, Nil, 2) }
+      if (ni >= 0) {
+        require(ni + 1 < rest.length, "--note needs a text argument")
+        note = rest(ni + 1); rest = rest.patch(ni, Nil, 2)
+      }
       val (files, sfDir) =
         if (rest.length % 2 == 1) (rest.dropRight(1), rest.last)
         else (rest, "/root/testdata/sf0.1")

@@ -220,7 +220,9 @@ object GlyphOcr {
           if ((gray(y * w + x) & 0xFF) < thr(rowBase + (x >> TileShift))) {
             if (nInk == inkXY.length) {
               inkXY = java.util.Arrays.copyOf(inkXY, nInk * 2)
-              scratch.inkXY = inkXY
+              // retention honors the MaxReuse cap like every other slot: a
+              // pathologically dense page must not pin a huge int[] forever
+              if (inkXY.length <= OcrScratch.MaxReuse) scratch.inkXY = inkXY
             }
             inkXY(nInk) = y * w + x
             nInk += 1

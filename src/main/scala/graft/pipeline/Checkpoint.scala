@@ -34,14 +34,18 @@ import graft.model.PipelineConf
 object Checkpoint {
 
   /** Version of the bucket-fingerprint FORMULA (not the data): bumped
-    * whenever [[fingerprints]] changes what it hashes, so a cross-version
-    * resume recomputes every bucket EXPLICITLY (logged as a format break)
-    * instead of looking like universal input drift. v1 = xxhash64 over
-    * per-bucket xor of xxhash64(url, length); v2 = xor + decimal-sum of
+    * whenever [[fingerprints]] changes what it hashes. The stamp does NOT
+    * gate commit validity — a stored fingerprint equal to the freshly
+    * computed one proves it came from the current formula (two formulas
+    * collide only at 2^-64 odds), so such buckets stay committed even
+    * under an old/absent stamp (e.g. a manifest written after the formula
+    * change but before this column existed). Its job is to LABEL the
+    * recompute a formula change causes: mismatching buckets stamped with
+    * a different version are logged as an explicit format break instead
+    * of reading as universal input drift. v1 = xxhash64 over per-bucket
+    * xor of xxhash64(url, length); v2 = xor + decimal-sum of
     * xxhash64(url, html) compared together with rows_in (content- and
-    * multiplicity-sensitive). Manifests written before this column existed
-    * read as v1. Recompute-on-mismatch is the correct direction either way
-    * (never stale output), the version only makes it attributable.
+    * multiplicity-sensitive). Manifests without the column read as v1.
     */
   val FingerprintVersion = 2
 
@@ -116,24 +120,30 @@ object Checkpoint {
     // re-extraction, or order a tombstone before the commit it supersedes)
     val nextSeq = (if (manifestRows.isEmpty) 0L
                    else manifestRows.iterator.map(_._3).max) + 1L
-    // a commit is only valid under the CURRENT fingerprint formula: an
-    // older-version row cannot be compared to a current fingerprint, so
-    // its bucket recomputes — a one-time, explicitly-logged format break
-    // rather than silent universal "input drift"
-    val versionBreak = latestRows.count { case (_, (_, rowsIn, fpv)) =>
-      rowsIn > 0 && fpv != FingerprintVersion }
-    if (versionBreak > 0)
-      System.err.println(s"[checkpoint] $versionBreak bucket(s) committed under " +
-        s"fingerprint version != $FingerprintVersion (formula change): " +
-        "re-extracting them once under the current formula")
+    // commit validity is fingerprint EQUALITY with the freshly computed
+    // value — regardless of the stamped fp_version: two formula versions
+    // only ever produce the same 64-bit value for the same input by a
+    // 2^-64 coincidence, so a matching stored fingerprint means it was in
+    // fact computed under the current formula (e.g. written after the
+    // formula change but before the version column existed, where the
+    // stamp coalesces to 1). The version stamp's job is to LABEL the
+    // recompute a formula change causes — making it read as an explicit
+    // format break in the log rather than universal "input drift" — not
+    // to force recomputing buckets whose fingerprints still match.
     val committed: Map[Int, (Long, Long)] =
-      latestRows.collect { case (b, (fp, rowsIn, fpv))
-        if rowsIn > 0 && fpv == FingerprintVersion => b -> (fp, rowsIn) }
+      latestRows.collect { case (b, (fp, rowsIn, _))
+        if rowsIn > 0 => b -> (fp, rowsIn) }
 
     val current = fps.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val pending = current.filter { case (b, fp, rows, _) =>
       !committed.get(b).contains((fp, rows)) }
     val pendingBuckets = pending.map(_._1).toSet
+    val versionBreak = latestRows.count { case (b, (_, rowsIn, fpv)) =>
+      rowsIn > 0 && fpv != FingerprintVersion && pendingBuckets.contains(b) }
+    if (versionBreak > 0)
+      System.err.println(s"[checkpoint] $versionBreak pending bucket(s) were " +
+        s"committed under fingerprint version != $FingerprintVersion " +
+        "(formula change): re-extracting them once under the current formula")
 
     // input DRIFT the pending check cannot see: a bucket committed earlier
     // whose rows are now entirely GONE from the input.

@@ -260,18 +260,18 @@ class CheckpointSpec extends AnyFunSuite {
     assert(totals == 500L)
   }
 
-  test("fingerprint-version break re-extracts once, explicitly, then settles") {
-    // a manifest written under an OLDER fingerprint formula (simulated
-    // both as rows with fp_version=1 and as a pre-version-column manifest
-    // with no fp_version at all) is not comparable to current
-    // fingerprints: the run must re-extract every bucket ONCE (a format
-    // break, not input drift) and the follow-up run must be a no-op
+  test("old version stamp with matching fingerprints stays committed (no spurious recompute)") {
+    // a manifest whose fingerprints EQUAL the freshly computed ones but
+    // whose stamp is old/absent (e.g. written after the v2 formula landed
+    // but before the fp_version column existed — such rows read back as
+    // v1) must NOT re-extract: fingerprint equality proves the values
+    // came from the current formula, the stamp only labels mismatches
     import spark.implicits._
     val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
     Seq(true, false).foreach { withColumn =>
       val out = freshDir()
       Checkpoint.run(pages, out, ParquetIO, conf, "v2-run", numBuckets = 8)
-      // rewrite the manifest as the older format
+      // rewrite the manifest with an old stamp but the SAME fingerprints
       val m = spark.read.parquet(Checkpoint.manifestPath(out)).collect()
       val old = m.map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("input_fingerprint"),
         r.getAs[Long]("rows_in"), r.getAs[Long]("bytes_in"), r.getAs[Long]("rows_out"),
@@ -282,12 +282,44 @@ class CheckpointSpec extends AnyFunSuite {
         if (withColumn) old.withColumn("fp_version", lit(1)) else old
       downgraded.write.mode("overwrite").parquet(Checkpoint.manifestPath(out))
 
-      val s = Checkpoint.run(pages, out, ParquetIO, conf, "after-break", numBuckets = 8)
-      assert(s.bucketsPending == s.bucketsTotal,
-        s"version break must recompute all buckets (withColumn=$withColumn): $s")
-      val s2 = Checkpoint.run(pages, out, ParquetIO, conf, "settled", numBuckets = 8)
-      assert(s2.bucketsPending == 0, s"second run must settle: $s2")
+      val s = Checkpoint.run(pages, out, ParquetIO, conf, "after-stamp-downgrade", numBuckets = 8)
+      assert(s.bucketsPending == 0,
+        s"matching fingerprints must stay committed regardless of stamp (withColumn=$withColumn): $s")
     }
+    pages.unpersist()
+  }
+
+  test("fingerprint-version break re-extracts once, labeled, then settles") {
+    // a manifest written under an OLDER fingerprint FORMULA (different
+    // stored fingerprints, stamped v1) recomputes every bucket once, and
+    // the log attributes the recompute to the format break rather than
+    // letting it read as universal input drift; the follow-up run settles
+    import spark.implicits._
+    val pages = SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val out = freshDir()
+    Checkpoint.run(pages, out, ParquetIO, conf, "v2-run", numBuckets = 8)
+    val m = spark.read.parquet(Checkpoint.manifestPath(out)).collect()
+    val old = m.map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("input_fingerprint") ^ 0x5aL,
+      r.getAs[Long]("rows_in"), r.getAs[Long]("bytes_in"), r.getAs[Long]("rows_out"),
+      r.getAs[String]("job_run_id"), r.getAs[Long]("committed_seq"), 1))
+      .toSeq.toDF("bucket", "input_fingerprint", "rows_in", "bytes_in",
+        "rows_out", "job_run_id", "committed_seq", "fp_version")
+    old.write.mode("overwrite").parquet(Checkpoint.manifestPath(out))
+
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    val s = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      Checkpoint.run(pages, out, ParquetIO, conf, "after-break", numBuckets = 8)
+    } finally System.setErr(prevErr)
+    assert(s.bucketsPending == s.bucketsTotal,
+      s"formula break must recompute all buckets: $s")
+    val err = errBuf.toString("UTF-8")
+    assert(err.contains("fingerprint version") && err.contains("8 pending bucket(s)"),
+      s"recompute must be labeled as a format break, got: $err")
+
+    val s2 = Checkpoint.run(pages, out, ParquetIO, conf, "settled", numBuckets = 8)
+    assert(s2.bucketsPending == 0, s"second run must settle: $s2")
     pages.unpersist()
   }
 }
