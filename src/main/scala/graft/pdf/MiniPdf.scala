@@ -89,6 +89,124 @@ object MiniPdf {
     build(Seq(streamFor(lines)), flate)
   }
 
+  /** Encrypted document (standard security handler, [[PdfCrypt]] reader
+    * counterpart). `variant` ∈ rc4-40 (V1 R2), rc4-128 (V2 R3), aesv2
+    * (V4 R4 /AESV2), identity-stm (V4 R4 — plaintext streams, RC4 strings),
+    * aesv3 (V5 R6 /AESV3). A non-empty `userPw` produces a document the
+    * empty-password reader must report as locked. Layout mirrors [[build]]
+    * (classic xref + trailer so the /Encrypt + /ID sighting runs the
+    * authoritative chain), plus an /Info /Title string exercising the
+    * string-decryption path. Deterministic: fixed /ID, per-object IVs
+    * derived from the object number.
+    */
+  def buildEncrypted(pageStreams: Seq[String], variant: String, userPw: String = "",
+                     flate: Boolean = false, padTo: Int = 1024): Array[Byte] = {
+    import java.security.MessageDigest
+    def md5(s: String): Array[Byte] = MessageDigest.getInstance("MD5").digest(s.getBytes(ISO_8859_1))
+    val id0: Array[Byte] = (0 until 16).map(i => ((i * 31 + 7) & 0xFF).toByte).toArray
+    val pw = userPw.getBytes(ISO_8859_1)
+    val ownerPw = "owner-fixture".getBytes(ISO_8859_1)
+    val perm = -44
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02X").mkString
+    def iv(num: Int): Array[Byte] = md5(s"fixture-iv-$num")
+    def rc4Of(fk: Array[Byte])(num: Int, d: Array[Byte]): Array[Byte] =
+      PdfCrypt.rc4(PdfCrypt.objectKey(fk, num, 0, aes = false), d)
+    def aesV2Of(fk: Array[Byte])(num: Int, d: Array[Byte]): Array[Byte] =
+      PdfCrypt.aesCbcEncrypt(PdfCrypt.objectKey(fk, num, 0, aes = true), iv(num), d)
+
+    // (encrypt-dict body, stream encryptor, string encryptor)
+    val (encBody, encStream, encString):
+        (String, (Int, Array[Byte]) => Array[Byte], (Int, Array[Byte]) => Array[Byte]) =
+      variant match {
+        case "rc4-40" | "rc4-128" =>
+          val (v, r, kb, lenDecl) =
+            if (variant == "rc4-40") (1, 2, 5, "") else (2, 3, 16, " /Length 128")
+          val o = PdfCrypt.computeO(ownerPw, pw, kb, r)
+          val fk = PdfCrypt.fileKeyR4(pw, o, perm, id0, kb, r, encryptMetadata = true)
+          val u = PdfCrypt.computeU(fk, id0, r)
+          (s"/Filter /Standard /V $v /R $r$lenDecl /O <${hex(o)}> /U <${hex(u)}> /P $perm",
+            rc4Of(fk), rc4Of(fk))
+        case "aesv2" | "identity-stm" =>
+          val o = PdfCrypt.computeO(ownerPw, pw, 16, 4)
+          val fk = PdfCrypt.fileKeyR4(pw, o, perm, id0, 16, 4, encryptMetadata = true)
+          val u = PdfCrypt.computeU(fk, id0, 4)
+          if (variant == "aesv2")
+            (s"/Filter /Standard /V 4 /R 4 /Length 128 /O <${hex(o)}> /U <${hex(u)}> " +
+              s"/P $perm /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF",
+              aesV2Of(fk), aesV2Of(fk))
+          else
+            (s"/Filter /Standard /V 4 /R 4 /Length 128 /O <${hex(o)}> /U <${hex(u)}> " +
+              s"/P $perm /CF << /StdCF << /CFM /V2 >> >> /StmF /Identity /StrF /StdCF",
+              (_: Int, d: Array[Byte]) => d, rc4Of(fk))
+        case "aesv3" =>
+          val fk = MessageDigest.getInstance("SHA-256").digest("fixture-filekey".getBytes(ISO_8859_1))
+          val vs = md5("fixture-vs").take(8)
+          val ks = md5("fixture-ks").take(8)
+          val u = PdfCrypt.hash2B(pw, vs, Array.emptyByteArray, 6) ++ vs ++ ks
+          val ue = PdfCrypt.aesCbcNoIv(javax.crypto.Cipher.ENCRYPT_MODE,
+            PdfCrypt.hash2B(pw, ks, Array.emptyByteArray, 6), fk)
+          val ovs = md5("fixture-ovs").take(8)
+          val oks = md5("fixture-oks").take(8)
+          val o = PdfCrypt.hash2B(ownerPw, ovs, u, 6) ++ ovs ++ oks
+          val oe = PdfCrypt.aesCbcNoIv(javax.crypto.Cipher.ENCRYPT_MODE,
+            PdfCrypt.hash2B(ownerPw, oks, u, 6), fk)
+          def enc(num: Int, d: Array[Byte]): Array[Byte] = PdfCrypt.aesCbcEncrypt(fk, iv(num), d)
+          (s"/Filter /Standard /V 5 /R 6 /Length 256 /O <${hex(o)}> /U <${hex(u)}> " +
+            s"/OE <${hex(oe)}> /UE <${hex(ue)}> /Perms <${"00" * 16}> /P $perm " +
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF",
+            enc, enc)
+        case other => throw new IllegalArgumentException(s"unknown variant: $other")
+      }
+
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def obj(body: => Unit): Unit = { offsets += out.size(); body }
+    w("%PDF-1.7\n")
+    val nPages = pageStreams.length
+    val kidRefs = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    obj { w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n") }
+    obj { w(s"2 0 obj\n<< /Type /Pages /Kids [ $kidRefs ] /Count $nPages >>\nendobj\n") }
+    obj { w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n") }
+    pageStreams.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 4 + 2 * i
+      val contNum = 5 + 2 * i
+      obj {
+        w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+      }
+      // encryption wraps OUTSIDE the filter chain (ISO 32000-1 §7.6.2):
+      // plaintext → deflate → encrypt, so the reader must decrypt FIRST
+      val plain = content.getBytes(ISO_8859_1)
+      val payload = encStream(contNum, if (flate) deflate(plain) else plain)
+      obj {
+        val filter = if (flate) " /Filter /FlateDecode" else ""
+        w(s"$contNum 0 obj\n<< /Length ${payload.length}$filter >>\nstream\n")
+        out.write(payload)
+        w("\nendstream\nendobj\n")
+      }
+    }
+    val infoNum = 4 + 2 * nPages
+    obj {
+      val title = encString(infoNum, "Encrypted Fixture".getBytes(ISO_8859_1))
+      w(s"$infoNum 0 obj\n<< /Title <${hex(title)}> >>\nendobj\n")
+    }
+    val encNum = infoNum + 1
+    obj { w(s"$encNum 0 obj\n<< $encBody >>\nendobj\n") }
+    val xrefPos = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R /Info $infoNum 0 R " +
+      s"/Encrypt $encNum 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] >>\nstartxref\n$xrefPos\n%%%%EOF\n")
+    if (out.size() < padTo) {
+      w("%")
+      while (out.size() < padTo - 1) out.write('x')
+      w("\n")
+    }
+    out.toByteArray
+  }
+
   /** MIXED document: native-text pages interleaved with image-only scanned
     * pages — the reference's "mixed" class (pdf_analyzer.py:96-122), where
     * per-page routing matters: span pages extract directly, raster pages go

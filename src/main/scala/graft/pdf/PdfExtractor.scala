@@ -35,11 +35,14 @@ object PdfExtractor {
 
   def extract(bytes: Array[Byte]): Either[String, PdfDoc] = {
     val objs = parseAll(bytes)
-    // /Encrypt in the trailer chain: stream payloads are ciphertext (RC4/AES
-    // standard security handler) — refuse with a typed error rather than
-    // emit garbage. The reference reads such files only for metadata
-    // (pdf_info_adapter.py:18-53); decryption is an explicit non-goal.
-    if (objs.encrypted) return Left("pdf_encrypted")
+    // /Encrypt documents: [[PdfCrypt]] removes standard-security-handler
+    // encryption for the empty-user-password class (the set poppler /
+    // pdfplumber / PyPDF2 open transparently, so the reference's corpus diet
+    // includes it — pdf_info_adapter.py reads such files without a prompt).
+    // Anything still ciphertext after that (non-empty password, scheme
+    // outside the matrix) refuses with a typed error, never garbage:
+    // "pdf_encrypted_locked" vs "pdf_encrypted".
+    if (objs.encrypted) return Left(objs.cryptFail.getOrElse("pdf_encrypted"))
     if (objs.byNum.isEmpty) return Left("pdf_no_objects")
 
     val pages = findPages(objs)

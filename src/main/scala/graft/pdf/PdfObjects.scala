@@ -24,7 +24,14 @@ object PdfObjects {
   case object PNull extends PVal
   final case class PStream(dict: PDict, raw: Array[Byte]) extends PVal
 
-  final class Objects(val byNum: Map[Int, PVal], val encrypted: Boolean = false) {
+  /** `encrypted` = payloads REMAIN ciphertext (refuse at the extractor);
+    * a document whose standard-security-handler encryption was removed by
+    * [[PdfCrypt]] (empty user password) has `encrypted = false` and
+    * `wasDecrypted = true`. `cryptFail` carries the typed refusal reason.
+    */
+  final class Objects(val byNum: Map[Int, PVal], val encrypted: Boolean = false,
+                      val cryptFail: Option[String] = None,
+                      val wasDecrypted: Boolean = false) {
     def resolve(v: PVal): PVal = v match {
       case r: PRef => resolveRef(r, Set.empty)
       case x => x
@@ -76,10 +83,10 @@ object PdfObjects {
     * broken or absent xref data.
     */
   def parseAll(bytes: Array[Byte]): Objects = {
-    val (out, scanOffsets) = scanObjects(bytes)
+    val (out, scanOffsets, gens) = scanObjects(bytes)
     val chain =
       try parseXrefChainFull(bytes)
-      catch { case scala.util.control.NonFatal(_) => XrefChain(Map.empty, encrypted = false) }
+      catch { case scala.util.control.NonFatal(_) => XrefChain.empty }
     val xref = chain.entries
     // type-1 entries: authoritative offset. When it equals the offset the
     // body scan already parsed the object at (the common, non-updated case)
@@ -91,12 +98,45 @@ object PdfObjects {
     // objects) would be re-added by the expansion loop below.
     val deleted = xref.collect { case (num, XrefEntry(0, _, _)) => num }.toSet
     xref.foreach {
-      case (num, XrefEntry(1, off, _)) =>
+      case (num, XrefEntry(1, off, g)) =>
+        gens(num) = g
         if (!scanOffsets.get(num).contains(off.toInt))
           parseObjectAt(bytes, off.toInt, num).foreach(v => out(num) = v)
       case (num, XrefEntry(0, _, _)) =>
         out.remove(num)
       case _ =>
+    }
+    // Standard-security-handler decryption (PdfCrypt, empty user password)
+    // happens BEFORE ObjStm expansion: the container stream is ciphertext as
+    // a whole, and its members inherit the container's decryption (ISO
+    // 32000-1 §7.6.2 — member strings are NOT individually re-decrypted).
+    var cryptFail: Option[String] = None
+    var wasDecrypted = false
+    // broken-xref robustness: when the startxref chain is unparseable, the
+    // /Encrypt sighting falls back to the newest `trailer` keyword — without
+    // it, an encrypted document with a corrupt xref would body-scan its
+    // ciphertext into garbage text instead of decrypting (or refusing typed)
+    val encryptSighting: Option[(PVal, Array[Byte])] =
+      chain.encryptRef.map(r => (r, chain.id0)).orElse {
+        if (chain.entries.isEmpty) scanTrailerEncrypt(bytes) else None
+      }
+    encryptSighting.foreach { case (encVal, chainId0) =>
+      val prov = new Objects(out.toMap)
+      prov.dict(encVal) match {
+        case Some(encDict) =>
+          PdfCrypt.forDocument(encDict, prov, chainId0) match {
+            case Right(dec) =>
+              val encNum = encVal match { case PRef(n, _) => n; case _ => -1 }
+              out.keysIterator.toVector.foreach { num =>
+                if (num != encNum)
+                  out(num) = decryptVal(out(num), num, gens.getOrElse(num, 0), dec, prov)
+              }
+              wasDecrypted = true
+            case Left(PdfCrypt.Locked) => cryptFail = Some("pdf_encrypted_locked")
+            case Left(PdfCrypt.Unsupported(_)) => cryptFail = Some("pdf_encrypted")
+          }
+        case None => cryptFail = Some("pdf_encrypted")
+      }
     }
     val base = new Objects(out.toMap)
     out.values.toVector.foreach {
@@ -119,7 +159,62 @@ object PdfObjects {
           case _ =>
         }
       }
-    new Objects(out.toMap, chain.encrypted)
+    new Objects(out.toMap, encrypted = cryptFail.isDefined, cryptFail = cryptFail,
+      wasDecrypted = wasDecrypted)
+  }
+
+  /** Decrypt one indirect object's strings and stream payload in place
+    * (recursively through arrays/dicts). XRef streams are never encrypted
+    * (ISO 32000-1 §7.5.8.2); /Type /Metadata streams stay plaintext when
+    * the document set /EncryptMetadata false. The stream payload is trimmed
+    * to /Length FIRST — /Length counts CIPHERTEXT bytes, and AES needs the
+    * exact IV+blocks run (the scan-delimited raw may over-read toward
+    * `endstream`).
+    */
+  private def decryptVal(v: PVal, num: Int, gen: Int, dec: PdfCrypt.Decryptor,
+                         objs: Objects): PVal = v match {
+    case PStr(b) => PStr(dec.decString(num, gen, b))
+    case PArr(items) => PArr(items.map(decryptVal(_, num, gen, dec, objs)))
+    case PDict(m) =>
+      PDict(m.map { case (k, x) => k -> decryptVal(x, num, gen, dec, objs) })
+    case s @ PStream(d, _) =>
+      val tpe = d.m.get("Type") match { case Some(PName(t)) => t; case _ => "" }
+      if (tpe == "XRef" || (tpe == "Metadata" && !dec.encryptMetadata)) s
+      else {
+        val dd = decryptVal(d, num, gen, dec, objs).asInstanceOf[PDict]
+        PStream(dd, dec.decStream(num, gen, rawData(s, objs)))
+      }
+    case x => x
+  }
+
+  /** Newest `trailer`-keyword dict carrying /Encrypt, walking backward from
+    * EOF (the xref-chain-unparseable fallback — only consulted when the
+    * startxref chain produced nothing, so a literal "trailer" inside a
+    * well-formed document's content stream can never shadow real trailers).
+    */
+  private def scanTrailerEncrypt(bytes: Array[Byte]): Option[(PVal, Array[Byte])] = {
+    var at = lastIndexOfKeyword(bytes, "trailer", bytes.length)
+    var guard = 0
+    while (at >= 0 && guard < 16) {
+      guard += 1
+      try {
+        val p = new Parser(bytes, at + 7)
+        p.parseValue() match {
+          case d: PDict if d.m.contains("Encrypt") =>
+            val id0 = d.m.get("ID") match {
+              case Some(PArr(items)) => items.headOption match {
+                case Some(PStr(b)) => b
+                case _ => Array.emptyByteArray
+              }
+              case _ => Array.emptyByteArray
+            }
+            return d.m.get("Encrypt").map(r => (r, id0))
+          case _ =>
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
+      at = lastIndexOfKeyword(bytes, "trailer", at)
+    }
+    None
   }
 
   /** One xref entry: kind 0 = free (deleted), kind 1 = at byte offset `a`,
@@ -132,7 +227,12 @@ object PdfObjects {
     * payloads are ciphertext, so extraction must refuse rather than emit
     * garbage.
     */
-  final case class XrefChain(entries: Map[Int, XrefEntry], encrypted: Boolean)
+  final case class XrefChain(entries: Map[Int, XrefEntry], encrypted: Boolean,
+                             encryptRef: Option[PVal] = None,
+                             id0: Array[Byte] = Array.emptyByteArray)
+  object XrefChain {
+    val empty: XrefChain = XrefChain(Map.empty, encrypted = false)
+  }
 
   /** Newest-wins object locations from the `startxref` → `/Prev` chain
     * (with hybrid `/XRefStm` branches). Empty when no chain parses.
@@ -142,14 +242,32 @@ object PdfObjects {
 
   def parseXrefChainFull(bytes: Array[Byte]): XrefChain = {
     val sx = lastIndexOfKeyword(bytes, "startxref")
-    if (sx < 0) return XrefChain(Map.empty, encrypted = false)
+    if (sx < 0) return XrefChain.empty
     val p0 = new Parser(bytes, sx + "startxref".length)
     p0.skipWs()
     val first = readAsciiInt(bytes, p0.pos)
-    if (first < 0) return XrefChain(Map.empty, encrypted = false)
+    if (first < 0) return XrefChain.empty
     val acc = mutable.Map.empty[Int, XrefEntry]
     val visited = mutable.Set.empty[Long]
     var encrypted = false
+    // first (= newest) sighting wins, same as the entry merge: incremental
+    // updates copy /Encrypt and /ID forward, and the newest trailer is the
+    // authoritative one
+    var encryptRef: Option[PVal] = None
+    var id0: Array[Byte] = Array.emptyByteArray
+    def sight(trailer: PDict): Unit = {
+      if (trailer.m.contains("Encrypt")) {
+        encrypted = true
+        if (encryptRef.isEmpty) encryptRef = trailer.m.get("Encrypt")
+      }
+      if (id0.isEmpty) trailer.m.get("ID") match {
+        case Some(PArr(items)) => items.headOption match {
+          case Some(PStr(b)) => id0 = b
+          case _ =>
+        }
+        case _ =>
+      }
+    }
     def merge(entries: Vector[(Int, XrefEntry)]): Unit =
       entries.foreach { case (n, e) => if (!acc.contains(n)) acc(n) = e }
     // newest section first; only the FIRST sighting of an object num counts
@@ -162,14 +280,14 @@ object PdfObjects {
         val (trailerOpt, entries) = parseXrefSection(bytes, off.toInt)
         trailerOpt match {
           case Some(trailer) =>
-            if (trailer.m.contains("Encrypt")) encrypted = true
+            sight(trailer)
             // hybrid (PDF 1.7 §7.5.8.4): the /XRefStm's entries take
             // PRECEDENCE over this classic section's own — merge the
             // stream section first, then the classic entries
             trailer.m.get("XRefStm").collect { case PNum(v)
                 if v >= 0 && v < bytes.length && visited.add(v.toLong) =>
               val (stmDict, stmEntries) = parseXrefSection(bytes, v.toInt)
-              if (stmDict.exists(_.m.contains("Encrypt"))) encrypted = true
+              stmDict.foreach(sight)
               merge(stmEntries)
             }
             merge(entries)
@@ -178,7 +296,7 @@ object PdfObjects {
         }
       }
     }
-    XrefChain(acc.toMap, encrypted)
+    XrefChain(acc.toMap, encrypted, encryptRef, id0)
   }
 
   /** One xref section (classic table or xref stream) at `off`: returns the
@@ -331,9 +449,13 @@ object PdfObjects {
     i
   }
 
-  private def lastIndexOfKeyword(hay: Array[Byte], needle: String): Int = {
+  private def lastIndexOfKeyword(hay: Array[Byte], needle: String): Int =
+    lastIndexOfKeyword(hay, needle, hay.length)
+
+  /** Last occurrence of `needle` strictly before byte position `before`. */
+  private def lastIndexOfKeyword(hay: Array[Byte], needle: String, before: Int): Int = {
     val m = needle.length
-    var i = hay.length - m
+    var i = math.min(before - 1, hay.length - m)
     while (i >= 0) {
       var j = 0
       var ok = true
@@ -378,11 +500,14 @@ object PdfObjects {
 
   /** One pass over the raw bytes collecting `N G obj` bodies, plus the
     * header offset each surviving object was parsed at (for xref-offset
-    * short-circuiting in [[parseAll]]).
+    * short-circuiting in [[parseAll]]) and its generation number (the
+    * per-object decryption key input).
     */
-  private def scanObjects(bytes: Array[Byte]): (mutable.Map[Int, PVal], mutable.Map[Int, Int]) = {
+  private def scanObjects(bytes: Array[Byte])
+      : (mutable.Map[Int, PVal], mutable.Map[Int, Int], mutable.Map[Int, Int]) = {
     val out = mutable.Map.empty[Int, PVal]
     val offs = mutable.Map.empty[Int, Int]
+    val gens = mutable.Map.empty[Int, Int]
     val n = bytes.length
     var i = 0
     while (i + 3 <= n) {
@@ -407,14 +532,17 @@ object PdfObjects {
             try {
               val v = p.parseValue()
               val v2 = p.maybeStream(v)
-              if (objNum >= 0) { out(objNum) = v2; offs(objNum) = numStart }
+              if (objNum >= 0) {
+                out(objNum) = v2; offs(objNum) = numStart
+                gens(objNum) = math.max(0, parseIntAscii(bytes, genStart, genEnd))
+              }
             } catch { case _: Exception => /* skip malformed object */ }
           }
         }
       }
       i += 1
     }
-    (out, offs)
+    (out, offs, gens)
   }
 
   private def parseIntAscii(b: Array[Byte], s: Int, e: Int): Int = {

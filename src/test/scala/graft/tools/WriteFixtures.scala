@@ -43,6 +43,17 @@ object WriteFixtures {
     val objstm = MiniPdf.buildObjStm(
       "BT /F1 12 Tf 72 700 Td (Cuerpo dentro de un object stream comprimido) Tj ET")
     Files.write(dir.resolve("objstm.pdf"), objstm)
+    // standard-security-handler fixtures: RC4 and AES empty-user-password
+    // documents decrypt; the locked one must refuse typed
+    val encPages = Seq(
+      MiniPdf.streamFor(Seq(("Documento cifrado RC4", 72, 700))),
+      MiniPdf.streamFor(Seq(("segunda pagina cifrada", 72, 700))))
+    Files.write(dir.resolve("encrypted-rc4.pdf"),
+      MiniPdf.buildEncrypted(encPages, "rc4-128", flate = true))
+    Files.write(dir.resolve("encrypted-aes.pdf"),
+      MiniPdf.buildEncrypted(encPages, "aesv2", flate = true))
+    Files.write(dir.resolve("encrypted-locked.pdf"),
+      MiniPdf.buildEncrypted(encPages, "aesv3", userPw = "secret"))
     println(s"wrote fixtures to $dir")
   }
 }
