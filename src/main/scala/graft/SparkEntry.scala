@@ -636,8 +636,10 @@ object SparkEntry {
 
   /** x03/x05/x06 oracle scaffold: per-document (doc_type, status, pages,
     * text_len, n_tables) re-derived in SQL from the generator's modular
-    * rules (SyntheticPages: %50==17 scanned, %50==41 broken, %10==9 PDF,
-    * %7==3 table, %4==1 Identity-H) plus the extractor's OWN classification
+    * rules (SyntheticPages: %50==17 scanned, %50==41 broken, %200==99
+    * locked-encrypted, %10==9 PDF — %20==19 of which ship encrypted but
+    * decrypt text-transparently, %7==3 table, %4==1 Identity-H) plus the
+    * extractor's OWN classification
     * thresholds (PdfExtractor: native_text iff avg span text/page > 100).
     * text_len is the GOLDEN length (the x02 gate proves text == golden), so
     * each component is a closed-form function of (doc_id, text, lang):
@@ -659,6 +661,7 @@ object SparkEntry {
       |  SELECT id, lang,
       |    CASE WHEN id % 50 = 17 THEN 'scanned'
       |         WHEN id % 50 = 41 THEN 'broken'
+      |         WHEN id % 200 = 99 THEN 'locked'
       |         WHEN id % 10 = 9 THEN 'pdf' ELSE 'html' END AS route,
       |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS words,
       |    length(regexp_replace(text, '\s', '', 'g')) AS wchars,
@@ -740,9 +743,16 @@ object SparkEntry {
       |  SELECT id, 'pdf' AS doc_type, 'error' AS status, 0 AS pages,
       |    0 AS tlen, 0 AS ntab, 0.0 AS conf, 0 AS words, 'pdf' AS charset
       |  FROM m WHERE route = 'broken'),
+      |lockrows AS (
+      |  -- %200==99: AES-256 under a non-empty user password — typed
+      |  -- pdf_encrypted_locked refusal, same accounting shape as broken
+      |  SELECT id, 'pdf' AS doc_type, 'error' AS status, 0 AS pages,
+      |    0 AS tlen, 0 AS ntab, 0.0 AS conf, 0 AS words, 'pdf' AS charset
+      |  FROM m WHERE route = 'locked'),
       |alldocs AS (
       |  SELECT * FROM htmlrows UNION ALL SELECT * FROM pdfrows
-      |  UNION ALL SELECT * FROM scrows UNION ALL SELECT * FROM brrows)
+      |  UNION ALL SELECT * FROM scrows UNION ALL SELECT * FROM brrows
+      |  UNION ALL SELECT * FROM lockrows)
       |""".stripMargin
 
   /** Shared SQL: doc_id → word-3-gram shingle FNV-64 hashes / token hashes

@@ -58,6 +58,24 @@ object SyntheticPages {
     */
   def isBrokenDoc(docId: Long): Boolean = docId % 50 == 41
 
+  /** Half the native-PDF docs ship ENCRYPTED with an empty user password
+    * (the "permissions restricted" class poppler opens transparently),
+    * rotating RC4-128 / AES-128 / AES-256 by `(id/20) % 3`. Decryption is
+    * text-transparent: golden, classification and accounting are identical
+    * to the plaintext build, so the slice is oracle-neutral — the x02 gate
+    * proves the decrypt path byte-exact at corpus scale. Disjoint from the
+    * scanned (%50==17 → %20 ∈ {17,7}) and broken (%50==41 → %20 ∈ {1,11})
+    * slots; always ≡3 mod 4, so never the Identity-H Type0 branch.
+    */
+  def isEncryptedDoc(docId: Long): Boolean =
+    docId % 20 == 19 && !isLockedDoc(docId)
+
+  /** ~0.5%: AES-256 encrypted under a NON-empty user password — the typed
+    * `pdf_encrypted_locked` refusal (status error, empty golden), mirroring
+    * the reference's open-failure lifecycle for password-protected uploads.
+    */
+  def isLockedDoc(docId: Long): Boolean = docId % 200 == 99
+
   private val accentWord = Map(
     "es" -> "información", "de" -> "übrigens", "fr" -> "déjà",
     "en" -> "naïve", "zh" -> "中文测试")
@@ -293,8 +311,19 @@ object SyntheticPages {
       } else (streams0, textPages)
     val golden = goldenPages.mkString("\n\n")
     val flate = (docId / 10) % 2 == 0
-    Spec(urlOf(docId), Epoch + docId * 1000L, MiniPdf.build(streams, flate = flate),
-      golden, lang)
+    if (isLockedDoc(docId))
+      // non-empty user password: the reader must refuse typed; golden is
+      // the refusal contract (empty text), not the unreachable plaintext
+      Spec(urlOf(docId), Epoch + docId * 1000L,
+        MiniPdf.buildEncrypted(streams, "aesv3", userPw = s"pw-$docId", flate = flate),
+        "", lang)
+    else if (isEncryptedDoc(docId)) {
+      val variant = Vector("rc4-128", "aesv2", "aesv3")(((docId / 20) % 3).toInt)
+      Spec(urlOf(docId), Epoch + docId * 1000L,
+        MiniPdf.buildEncrypted(streams, variant, flate = flate), golden, lang)
+    } else
+      Spec(urlOf(docId), Epoch + docId * 1000L, MiniPdf.build(streams, flate = flate),
+        golden, lang)
   }
 
   /** Spark derivation: documents.parquet → pages DataFrame (Page schema).

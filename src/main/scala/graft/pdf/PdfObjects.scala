@@ -747,7 +747,17 @@ object PdfObjects {
       PStr(strTake())
     }
 
-    /** If a `stream` keyword follows a dict, attach the payload. */
+    /** If a `stream` keyword follows a dict, attach the payload.
+      *
+      * A DIRECT sane /Length delimits the payload EXACTLY (verified by the
+      * `endstream` keyword following it, so a stale /Length from a broken
+      * writer falls through): this is the spec rule (ISO 32000-1 §7.3.8.2)
+      * and the only correct one for payloads whose final bytes happen to BE
+      * EOL bytes — ciphertext, Flate/JPEG tails — which the search path's
+      * trailing-EOL strip would otherwise truncate. Indirect/absent/broken
+      * /Length falls back to the `endstream` search with at-most-one-EOL
+      * strip (robustness baseline; scope note in object doc).
+      */
     def maybeStream(v: PVal): PVal = v match {
       case d: PDict =>
         val save = pos
@@ -757,19 +767,37 @@ object PdfObjects {
           if (pos < n && bytes(pos) == '\r') pos += 1
           if (pos < n && bytes(pos) == '\n') pos += 1
           val dataStart = pos
-          // /Length may be an indirect ref we can't resolve yet — locate
-          // `endstream` by search (scope note in object doc).
-          val end = indexOf(bytes, "endstream", dataStart)
-          val dataEnd0 = if (end < 0) n else end
-          // strip at most one trailing EOL
-          var dataEnd = dataEnd0
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, math.max(dataEnd, dataStart))
-          pos = if (end < 0) n else end + 9
-          PStream(d, raw)
+          d.m.get("Length") match {
+            case Some(PNum(l)) if l >= 0 && l <= n - dataStart && {
+                // accept only if `endstream` follows (after optional EOL)
+                var q = dataStart + l.toInt
+                if (q < n && bytes(q) == '\r') q += 1
+                if (q < n && bytes(q) == '\n') q += 1
+                q + 9 <= n && matchesKeywordAt(q, "endstream")
+              } =>
+              val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + l.toInt)
+              pos = indexOf(bytes, "endstream", dataStart + l.toInt) + 9
+              PStream(d, raw)
+            case _ =>
+              val end = indexOf(bytes, "endstream", dataStart)
+              val dataEnd0 = if (end < 0) n else end
+              // strip at most one trailing EOL
+              var dataEnd = dataEnd0
+              if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+              if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+              val raw = java.util.Arrays.copyOfRange(bytes, dataStart, math.max(dataEnd, dataStart))
+              pos = if (end < 0) n else end + 9
+              PStream(d, raw)
+          }
         } else { pos = save; d }
       case other => other
+    }
+
+    private def matchesKeywordAt(at: Int, s: String): Boolean = {
+      if (at < 0 || at + s.length > n) return false
+      var i = 0
+      while (i < s.length) { if (bytes(at + i) != s.charAt(i)) return false; i += 1 }
+      true
     }
   }
 

@@ -35,14 +35,17 @@ class PipelineSpec extends AnyFunSuite {
 
     import org.apache.spark.sql.functions._
     // corpus mix is deterministic: doc ids 0..499, 2% broken (status=error,
-    // empty golden), 2% scanned (processed, empty golden), rest processed
+    // empty golden), ~0.5% password-locked (typed error, empty golden), 2%
+    // scanned (processed, empty golden), rest processed
     val ids = (0L until total)
     val nBroken = ids.count(SyntheticPages.isBrokenDoc)
+    val nLocked = ids.count(SyntheticPages.isLockedDoc)
     val nScanned = ids.count(SyntheticPages.isScannedDoc)
+    assert(nLocked > 0, "corpus must exercise the locked-refusal slice")
     val st = extracted.groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(st.getOrElse("processed", 0L) == total - nBroken, s"statuses: $st")
-    assert(st.getOrElse("error", 0L) == nBroken, s"statuses: $st")
+    assert(st.getOrElse("processed", 0L) == total - nBroken - nLocked, s"statuses: $st")
+    assert(st.getOrElse("error", 0L) == nBroken + nLocked, s"statuses: $st")
     val types = extracted.groupBy("doc_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(types.getOrElse("scanned", 0L) == nScanned, s"types: $types")
