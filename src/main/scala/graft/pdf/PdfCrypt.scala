@@ -118,23 +118,52 @@ object PdfCrypt {
           // R5 (deprecated AESV3 extension) / R6 (PDF 2.0): SHA-2 password
           // check against the validation salt, file key unwrapped from /UE
           if (r != 5 && r != 6) return Left(Unsupported(s"r:$r"))
-          if (u.length < 48) return Left(Unsupported("bad_u"))
-          val hash = hash2B(Array.emptyByteArray, java.util.Arrays.copyOfRange(u, 32, 40),
-            Array.emptyByteArray, r)
-          if (!java.util.Arrays.equals(hash, java.util.Arrays.copyOf(u, 32)))
-            return Left(Locked)
-          val ue = str("UE")
-          if (ue.length < 32) return Left(Unsupported("bad_ue"))
-          val ik = hash2B(Array.emptyByteArray, java.util.Arrays.copyOfRange(u, 40, 48),
-            Array.emptyByteArray, r)
-          val fk = aesCbcNoIv(Cipher.DECRYPT_MODE, ik, java.util.Arrays.copyOf(ue, 32))
-          Right(new Decryptor(fk, MethodAesV3, MethodAesV3, encryptMetadata))
+          v5FileKey(r, u, str("UE"))
+            .map(fk => new Decryptor(fk, MethodAesV3, MethodAesV3, encryptMetadata))
         case other => Left(Unsupported(s"v:$other"))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         Left(Unsupported(s"crypt_error:${e.getClass.getSimpleName}"))
     }
+  }
+
+  /** V5 empty-user-password derivation, MEMOIZED on its exact inputs
+    * (R, /U, /UE): the R6 hash (Algorithm 2.B) is password-hardening —
+    * ~64+ AES+SHA rounds, ~2 ms — deliberately slow so brute force is
+    * expensive, and it is a pure function of (password, U-salts, UE). A
+    * reader pays it once per distinct security handler: corpora where many
+    * documents share one handler (bulk exports, our synthetic corpus)
+    * derive once; real-world per-file /ID collections pay once per file,
+    * which is the spec-mandated cost. Bounded: the map is cleared past
+    * [[V5CacheCap]] entries (~7 MB) so a billion-file executor never pins
+    * unbounded memory.
+    */
+  private val V5CacheCap = 65536
+  private val v5Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Either[Fail, Array[Byte]]]()
+
+  private def v5FileKey(r: Int, u: Array[Byte], ue: Array[Byte]): Either[Fail, Array[Byte]] = {
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02x").mkString
+    val key = s"$r|${hex(u)}|${hex(ue)}"
+    val hit = v5Cache.get(key)
+    if (hit != null) return hit
+    val computed: Either[Fail, Array[Byte]] =
+      if (u.length < 48) Left(Unsupported("bad_u"))
+      else {
+        val hash = hash2B(Array.emptyByteArray, java.util.Arrays.copyOfRange(u, 32, 40),
+          Array.emptyByteArray, r)
+        if (!java.util.Arrays.equals(hash, java.util.Arrays.copyOf(u, 32))) Left(Locked)
+        else if (ue.length < 32) Left(Unsupported("bad_ue"))
+        else {
+          val ik = hash2B(Array.emptyByteArray, java.util.Arrays.copyOfRange(u, 40, 48),
+            Array.emptyByteArray, r)
+          Right(aesCbcNoIv(Cipher.DECRYPT_MODE, ik, java.util.Arrays.copyOf(ue, 32)))
+        }
+      }
+    if (v5Cache.size >= V5CacheCap) v5Cache.clear()
+    v5Cache.put(key, computed)
+    computed
   }
 
   /** Algorithms 2 + 4/5/6: derive the file key from the EMPTY user password
@@ -237,6 +266,9 @@ object PdfCrypt {
     if (r == 5) return k
     var rounds = 0
     var lastE = 256
+    // one Cipher instance re-init'd per round: getInstance is a provider
+    // lookup (~µs + allocation) that would otherwise run 64+ times
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
     while (rounds < 64 || lastE > rounds - 32) {
       val block = new Array[Byte](password.length + k.length + udata.length)
       System.arraycopy(password, 0, block, 0, password.length)
@@ -248,7 +280,6 @@ object PdfCrypt {
         System.arraycopy(block, 0, k1, i * block.length, block.length)
         i += 1
       }
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
       c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(k, 0, 16, "AES"),
         new IvParameterSpec(k, 16, 16))
       val e = c.doFinal(k1)
