@@ -127,10 +127,22 @@ object SyntheticPages {
         if (alien) graft.ocr.GlyphFont.Alien
         else if (typeset && (variant / 4) % 2 == 1) graft.ocr.GlyphFont.Bold
         else graft.ocr.GlyphFont.Base
+      // antialiasing halo (scanner point-spread): rotated through the
+      // lossless-Flate slots with clean lighting — light halo (160, above
+      // the Bernsen midpoint, invisible to the primary rung) and dark halo
+      // (96, the heavy-ink class only the contrast ladder's low rung
+      // reads). Excluded: DCT/JPEG (ringing composes with halo outside the
+      // binarization margin), CCITT (bilevel by construction), the
+      // lighting slots (gradient/fade remap assumes binary input), and
+      // alien (a midpoint-rung dilated fluke could beat the '?' degrade,
+      // making the open-world golden unpredictable)
+      val halo =
+        if (alien || variant % 5 > 1 || variant % 10 == 0) 0
+        else (variant % 3) match { case 1 => 160; case 2 => 96; case _ => 0 }
       val bmp = graft.ocr.GlyphRender.upscale(
         graft.ocr.GlyphRender.render(lines, skew,
           noiseSeed = docId, noisePerGap = 2 + (variant % 3).toInt,
-          proportional = typeset, face = face), dpiScale)
+          proportional = typeset, face = face, haloGray = halo), dpiScale)
       // raster encodings rotate through the real-world scanned-PDF filter
       // mix: Flate (gray + RGB), DCTDecode/JPEG (gray + RGB) and
       // CCITTFaxDecode (bilevel) — all load-bearing in the golden gate

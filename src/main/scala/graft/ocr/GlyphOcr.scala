@@ -149,9 +149,13 @@ object GlyphOcr {
 
   /** Per-tile binarization thresholds: Bernsen local midpoint over the
     * 3×3-tile neighborhood, 0 (nothing passes `<0`... `<=` never used) for
-    * low-contrast tiles. Deterministic integer math.
+    * low-contrast tiles. Deterministic integer math. `lowRung` biases the
+    * threshold to the dark quarter of the local range (min + range/4) —
+    * the retry rung of the contrast ladder, which classifies mid-gray
+    * antialiasing halo as background while keeping true ink.
     */
-  private def tileThresholds(gray: Array[Byte], w: Int, h: Int): (Array[Int], Int) = {
+  private def tileThresholds(gray: Array[Byte], w: Int, h: Int,
+                             lowRung: Boolean): (Array[Int], Int) = {
     val tw = ((w - 1) >> TileShift) + 1
     val th = ((h - 1) >> TileShift) + 1
     val mins = Array.fill(tw * th)(255)
@@ -189,7 +193,10 @@ object GlyphOcr {
           }
           dy += 1
         }
-        thr(ty * tw + tx) = if (nMax - nMin >= MinContrast) (nMin + nMax) >> 1 else 0
+        thr(ty * tw + tx) =
+          if (nMax - nMin < MinContrast) 0
+          else if (lowRung) nMin + ((nMax - nMin) >> 2)
+          else (nMin + nMax) >> 1
         tx += 1
       }
       ty += 1
@@ -197,7 +204,38 @@ object GlyphOcr {
     (thr, tw)
   }
 
+  /** Contrast-ladder recognition (the adaptive-binarization retry a real
+    * OCR stack gets from trying Otsu/adaptive variants): the primary rung
+    * binarizes at the Bernsen local midpoint; if it does not read the page
+    * perfectly, a second rung retries at the dark quarter of the local
+    * range — a heavily-inked or antialiased scan carries a mid-gray halo
+    * around every stroke (below the midpoint, above the quarter), which
+    * the primary rung reads as ink, dilating every glyph past its
+    * template; the low rung drops the halo and recovers the exact shapes.
+    * The better read wins (match rate, then glyphs; ties → primary), but
+    * the low rung is CREDIBLE only when it substantially reads
+    * (matchRate ≥ [[DecimatedMinRate]], the same rationale as the
+    * decimation floor): on a page outside the template universe — an
+    * unseen face under gradient lighting — the re-binarized ink set is a
+    * different random sample whose few fluke matches would otherwise beat
+    * the honest matchRate-0 `?`-degrade and return garbage. A clean page
+    * reads 1.0 on the primary rung and never pays the retry, so the hot
+    * path is unchanged; only degraded pages pay 2×.
+    */
   def recognize(gray: Array[Byte], w: Int, h: Int): OcrResult = {
+    val primary = recognizeAt(gray, w, h, lowRung = false)
+    if (primary.glyphs > 0 && primary.matched == primary.glyphs) primary
+    else {
+      val low = recognizeAt(gray, w, h, lowRung = true)
+      if (low.matchRate >= DecimatedMinRate &&
+          (low.matchRate > primary.matchRate ||
+            (low.matchRate == primary.matchRate && low.glyphs > primary.glyphs))) low
+      else primary
+    }
+  }
+
+  private def recognizeAt(gray: Array[Byte], w: Int, h: Int,
+                          lowRung: Boolean): OcrResult = {
     if (w <= 0 || h <= 0 || gray.length < w * h) return OcrResult("", 0, 0, 0.0)
 
     // 1+2 fused: ONE binarize pass collects the sparse ink coordinates
@@ -208,7 +246,7 @@ object GlyphOcr {
     // (The tile min/max pre-pass adds one more read of the page — still
     // O(pixels), no allocation beyond the tiny tile grid.)
     val scratch = OcrScratch.local.get
-    val (thr, tw) = tileThresholds(gray, w, h)
+    val (thr, tw) = tileThresholds(gray, w, h, lowRung)
     var nInk = 0
     var inkXY: Array[Int] = scratch.inkXY // packed y*w+x, grown on demand
     locally {
@@ -469,18 +507,27 @@ object GlyphOcr {
     */
   val PerfectExitGlyphs = 8
 
-  /** A decimated pass must read at least half its glyphs to be a CANDIDATE
-    * at all: the "this page is k×-DPI" hypothesis is only credible if the
-    * decimated read substantially succeeds. Without the floor, a
-    * native-resolution page outside the template universe (an unseen face,
-    * photographed text) would lose to any decimation fluke matching a few
-    * tiny blobs — nonzero rate beats zero — and return garbage; with it,
-    * such pages deterministically fall through to the k=1 read, whose
-    * `?`-runs keep line/space structure and report matchRate 0 (the honest
-    * low confidence the reference gets from Tesseract and thresholds at
-    * 60.0, `domain/constants/__init__.py:12`).
+  /** A decimated pass must read at least two-thirds of its glyphs to be a
+    * CANDIDATE at all: the "this page is k×-DPI" hypothesis is only
+    * credible if the decimated read substantially succeeds. Without the
+    * floor, a native-resolution page outside the template universe (an
+    * unseen face, photographed text) would lose to any decimation fluke
+    * matching a few tiny blobs — nonzero rate beats zero — and return
+    * garbage; with it, such pages deterministically fall through to the
+    * k=1 read, whose `?`-runs keep line/space structure and report
+    * matchRate 0 (the honest low confidence the reference gets from
+    * Tesseract and thresholds at 60.0, `domain/constants/__init__.py:12`).
+    *
+    * Raised 0.5 → 2/3 after sweeping the variant space with adversarial
+    * word sets: an out-of-universe page can decimate each glyph into ~2
+    * blobs of which HALF fluke-match punctuation (rate ≈ 0.5, glyph count
+    * commensurate), so one-half is reachable by chance; two-thirds demands
+    * the blobs read substantially better than a coin flip per run. A
+    * degraded true-k× page below the floor falls back to the k=1
+    * structured `?`-degrade (honest low confidence) instead of a
+    * two-thirds-garbled decimated read.
     */
-  val DecimatedMinRate = 0.5
+  val DecimatedMinRate = 2.0 / 3
 
   def recognizeAutoScale(gray: Array[Byte], w: Int, h: Int,
                          maxScale: Int = 3): OcrResult = {
@@ -495,35 +542,47 @@ object GlyphOcr {
     // while among decimated candidates the larger k, seen first, stands
     // (replacing it with a smaller-k tie would trade a true 3× read for a
     // k=2 fluke).
-    var best: OcrResult = null
+    // Decimated candidates are held PROVISIONALLY and only admitted once
+    // the k=1 read is known: a true k×-DPI page segments into ~the same
+    // glyph runs at k=1 (each giant glyph is still one run — it just
+    // matches nothing), so its decimated glyph count is commensurate with
+    // the k=1 count; a decimation FLUKE on a native page collapses many
+    // glyphs into few blobs. Requiring glyphs×2 ≥ k=1-glyphs kills the
+    // fluke class (an out-of-universe page whose ~50 `?`-runs decimate
+    // into ~18 quote/dot blobs at ≥0.5 rate) that would otherwise replace
+    // the honest structured degrade with garbage.
+    var cands: List[OcrResult] = Nil // k-descending order
     var k = maxScale
-    while (k >= 1) {
-      val r =
-        if (k == 1) recognize(gray, w, h)
-        else {
-          val wk = w / k
-          val hk = h / k
-          if (wk <= 0 || hk <= 0) OcrResult("", 0, 0, 0.0)
-          else {
-            // scratch slot: every element of [0, wk*hk) is written below
-            // before recognize reads it
-            val ds = OcrScratch.local.get.dsBuf(wk * hk)
-            var y = 0
-            while (y < hk) {
-              var x = 0
-              while (x < wk) { ds(y * wk + x) = gray(y * k * w + x * k); x += 1 }
-              y += 1
-            }
-            recognize(ds, wk, hk)
-          }
+    while (k >= 2) {
+      val wk = w / k
+      val hk = h / k
+      if (wk > 0 && hk > 0) {
+        // scratch slot: every element of [0, wk*hk) is written below
+        // before recognize reads it
+        val ds = OcrScratch.local.get.dsBuf(wk * hk)
+        var y = 0
+        while (y < hk) {
+          var x = 0
+          while (x < wk) { ds(y * wk + x) = gray(y * k * w + x * k); x += 1 }
+          y += 1
         }
-      if (k > 1 && r.matchRate == 1.0 && r.glyphs >= PerfectExitGlyphs) return r
-      val eligible = k == 1 || (r.matchRate >= DecimatedMinRate && r.glyphs >= 3)
-      if (eligible && (best == null || r.matchRate > best.matchRate ||
-          (r.matchRate == best.matchRate &&
-            (r.glyphs > best.glyphs || (r.glyphs == best.glyphs && k == 1)))))
-        best = r
+        val r = recognize(ds, wk, hk)
+        if (r.matchRate == 1.0 && r.glyphs >= PerfectExitGlyphs) return r
+        if (r.matchRate >= DecimatedMinRate && r.glyphs >= 3) cands ::= r
+      }
       k -= 1
+    }
+    val r1 = recognize(gray, w, h)
+    var best = r1
+    // k-descending evaluation order restored (cands was built k-descending
+    // then prepended): strict-better replacement keeps the larger k on
+    // decimated ties, and k=1 wins equal (rate, glyphs) because it is the
+    // baseline
+    cands.reverse.foreach { r =>
+      if (r.glyphs * 2 >= r1.glyphs &&
+          (r.matchRate > best.matchRate ||
+            (r.matchRate == best.matchRate && r.glyphs > best.glyphs)))
+        best = r
     }
     best
   }

@@ -75,7 +75,7 @@ object GlyphRender {
 
   def render(lines: Seq[String], skew0: Double = 0.0, noiseSeed: Long = 0L,
              noisePerGap: Int = 0, proportional: Boolean = false,
-             face: GlyphFont.Face = GlyphFont.Base): Bitmap = {
+             face: GlyphFont.Face = GlyphFont.Base, haloGray: Int = 0): Bitmap = {
     // a face as wide as the fixed-pitch cell (bold: 6 columns, zero gap
     // would merge adjacent runs) can only render proportionally; any
     // narrower face (base, alien) works in either layout
@@ -148,6 +148,40 @@ object GlyphRender {
           }
           k += 1
         }
+      }
+    }
+
+    // antialiasing halo (a scanner's point-spread / a rescaler's edge
+    // blend): every background pixel 8-adjacent to glyph ink takes the
+    // given gray. Applied BEFORE specks — the halo models optics acting on
+    // printed strokes; specks are sensor salt and stay single-pixel (a
+    // halo'd 3×3 speck blob would clear the recognizer's 3-row band floor
+    // and read as a phantom glyph, which real salt noise does not).
+    // Writing only Bg pixels from Ink neighbors cannot cascade.
+    if (haloGray > 0) {
+      val hb = haloGray.toByte
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (gray(y * w + x) == Bg) {
+            var found = false
+            var dy = math.max(0, y - 1)
+            val ey = math.min(h - 1, y + 1)
+            while (dy <= ey && !found) {
+              var dx = math.max(0, x - 1)
+              val ex = math.min(w - 1, x + 1)
+              while (dx <= ex && !found) {
+                found = gray(dy * w + dx) == Ink
+                dx += 1
+              }
+              dy += 1
+            }
+            if (found) gray(y * w + x) = hb
+          }
+          x += 1
+        }
+        y += 1
       }
     }
 

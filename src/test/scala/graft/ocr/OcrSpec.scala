@@ -700,6 +700,71 @@ class OcrSpec extends AnyFunSuite {
     }
   }
 
+  test("light antialiasing halo (gray ≥ local midpoint) reads exactly on the primary rung") {
+    // halo 160 vs full-contrast midpoint 127: classified background by the
+    // Bernsen rule itself — no retry needed, hot path untouched
+    val lines = Vector("The quick Brown fox,", "jumps over 13 dogs!")
+    val b = GlyphRender.render(lines, haloGray = 160)
+    val r = GlyphOcr.recognize(b.gray, b.w, b.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
+    assert(r.matchRate == 1.0)
+  }
+
+  test("dark antialiasing halo (heavy-inked scan): contrast ladder reads exactly") {
+    // halo 96 sits BELOW the midpoint (127) and ABOVE the low rung's
+    // quarter threshold (63): the primary rung reads dilated garbage, the
+    // retry rung drops the halo and recovers every glyph
+    val lines = Vector("The quick Brown fox,", "jumps over 13 dogs!")
+    val b = GlyphRender.render(lines, haloGray = 96)
+    val r = GlyphOcr.recognize(b.gray, b.w, b.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
+    assert(r.matchRate == 1.0)
+    // proportional typeset + bold face: halo must not break pen-advance
+    // spacing once the low rung restores the trimmed widths
+    val tb = GlyphRender.render(lines, proportional = true,
+      face = GlyphFont.Bold, haloGray = 96)
+    val tr = GlyphOcr.recognize(tb.gray, tb.w, tb.h)
+    assert(tr.text == lines.mkString("\n"), s"typeset got '${tr.text}'")
+    // skewed dark-halo page: halo follows the sheared strokes; the ladder
+    // composes with the deskew search
+    val sb2 = GlyphRender.render(lines, skew0 = 0.0125, haloGray = 96)
+    val sr = GlyphOcr.recognize(sb2.gray, sb2.w, sb2.h)
+    assert(sr.text == lines.mkString("\n"), s"skewed got '${sr.text}'")
+  }
+
+  test("dark halo at 2x DPI reads exactly through autoScale") {
+    val lines = Vector("Halo page at 2x, with", "enough glyphs to exit early")
+    val b = GlyphRender.upscale(GlyphRender.render(lines, haloGray = 96), 2)
+    val r = GlyphOcr.recognizeAutoScale(b.gray, b.w, b.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
+    assert(r.matchRate == 1.0)
+  }
+
+  test("dark halo end-to-end: scanned PDF reads exactly, confidence 100") {
+    val lines = Vector("End to end halo scan 7")
+    val b = GlyphRender.render(lines, haloGray = 96)
+    val pdf = graft.pdf.MiniPdf.buildScanned(b.gray, b.w, b.h)
+    val doc = graft.pdf.PdfExtractor.extract(pdf).toOption.get
+    assert(doc.docType == "scanned")
+    assert(doc.text == lines.mkString("\n"), s"got '${doc.text}'")
+    assert(doc.confidence == 100.0)
+  }
+
+  test("ladder does not regress the adaptive-lighting or blank-floor behavior") {
+    // faded low-contrast page (ink 150 / bg 205) still reads on the
+    // primary rung, and a bare illumination gradient still binarizes to
+    // blank on BOTH rungs (the contrast floor is rung-independent)
+    val lines = Vector("Faded but readable text")
+    val b = GlyphRender.render(lines)
+    val faded = b.gray.map(v => (if ((v & 0xFF) < 128) 150 else 205).toByte)
+    val r = GlyphOcr.recognize(faded, b.w, b.h)
+    assert(r.text == lines.mkString("\n"), s"got '${r.text}'")
+    val w = 256; val h = 96
+    val bare = Array.tabulate(w * h)(i => (140 + (i % w) * 36 / (w - 1)).toByte)
+    val br = GlyphOcr.recognize(bare, w, h)
+    assert(br.glyphs == 0 && br.text.isEmpty)
+  }
+
   test("alien face page degrades to '?' runs with matchRate 0, confidence < 60") {
     val lines = Vector("Unknown typeface here", "second line, 42")
     val bmp = GlyphRender.render(lines, skew0 = 0.0125, noiseSeed = 7L,
