@@ -147,15 +147,11 @@ object GlyphOcr {
     */
   private final val MinContrast = 40
 
-  /** Per-tile binarization thresholds: Bernsen local midpoint over the
-    * 3×3-tile neighborhood, 0 (nothing passes `<0`... `<=` never used) for
-    * low-contrast tiles. Deterministic integer math. `lowRung` biases the
-    * threshold to the dark quarter of the local range (min + range/4) —
-    * the retry rung of the contrast ladder, which classifies mid-gray
-    * antialiasing halo as background while keeping true ink.
+  /** Per-tile min/max (one full-page read) — rung-INDEPENDENT, so the
+    * contrast ladder computes it once and derives both rungs' thresholds
+    * from it; the retry pays only the re-classification pass.
     */
-  private def tileThresholds(gray: Array[Byte], w: Int, h: Int,
-                             lowRung: Boolean): (Array[Int], Int) = {
+  private def tileMinMax(gray: Array[Byte], w: Int, h: Int): (Array[Int], Array[Int], Int) = {
     val tw = ((w - 1) >> TileShift) + 1
     val th = ((h - 1) >> TileShift) + 1
     val mins = Array.fill(tw * th)(255)
@@ -173,6 +169,19 @@ object GlyphOcr {
       }
       y += 1
     }
+    (mins, maxs, tw)
+  }
+
+  /** Per-tile binarization thresholds: Bernsen local midpoint over the
+    * 3×3-tile neighborhood, 0 (nothing passes `<0`... `<=` never used) for
+    * low-contrast tiles. Deterministic integer math. `lowRung` biases the
+    * threshold to the dark quarter of the local range (min + range/4) —
+    * the retry rung of the contrast ladder, which classifies mid-gray
+    * antialiasing halo as background while keeping true ink.
+    */
+  private def tileThresholds(mins: Array[Int], maxs: Array[Int], tw: Int,
+                             lowRung: Boolean): Array[Int] = {
+    val th = mins.length / tw
     val thr = new Array[Int](tw * th)
     var ty = 0
     while (ty < th) {
@@ -201,7 +210,7 @@ object GlyphOcr {
       }
       ty += 1
     }
-    (thr, tw)
+    thr
   }
 
   /** Contrast-ladder recognition (the adaptive-binarization retry a real
@@ -223,10 +232,14 @@ object GlyphOcr {
     * path is unchanged; only degraded pages pay 2×.
     */
   def recognize(gray: Array[Byte], w: Int, h: Int): OcrResult = {
-    val primary = recognizeAt(gray, w, h, lowRung = false)
+    if (w <= 0 || h <= 0 || gray.length < w * h) return OcrResult("", 0, 0, 0.0)
+    val (mins, maxs, tw) = tileMinMax(gray, w, h)
+    val primary = recognizeAt(gray, w, h,
+      tileThresholds(mins, maxs, tw, lowRung = false), tw)
     if (primary.glyphs > 0 && primary.matched == primary.glyphs) primary
     else {
-      val low = recognizeAt(gray, w, h, lowRung = true)
+      val low = recognizeAt(gray, w, h,
+        tileThresholds(mins, maxs, tw, lowRung = true), tw)
       if (low.matchRate >= DecimatedMinRate &&
           (low.matchRate > primary.matchRate ||
             (low.matchRate == primary.matchRate && low.glyphs > primary.glyphs))) low
@@ -235,8 +248,7 @@ object GlyphOcr {
   }
 
   private def recognizeAt(gray: Array[Byte], w: Int, h: Int,
-                          lowRung: Boolean): OcrResult = {
-    if (w <= 0 || h <= 0 || gray.length < w * h) return OcrResult("", 0, 0, 0.0)
+                          thr: Array[Int], tw: Int): OcrResult = {
 
     // 1+2 fused: ONE binarize pass collects the sparse ink coordinates
     // (~5% of pixels on a text page); the 17-candidate deskew search and
@@ -246,7 +258,6 @@ object GlyphOcr {
     // (The tile min/max pre-pass adds one more read of the page — still
     // O(pixels), no allocation beyond the tiny tile grid.)
     val scratch = OcrScratch.local.get
-    val (thr, tw) = tileThresholds(gray, w, h, lowRung)
     var nInk = 0
     var inkXY: Array[Int] = scratch.inkXY // packed y*w+x, grown on demand
     locally {
