@@ -132,6 +132,37 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(a.length == 32 && a.sameElements(b) && !a.sameElements(r5))
   }
 
+  test("property: extraction is total on corrupted ENCRYPTED variants") {
+    // bit flips and truncations over every security-handler build: the
+    // reader must stay total (processed or a typed error, never a throw),
+    // and a corrupted LOCKED document must never flip to readable text —
+    // the password check either still refuses or the damage degrades the
+    // document, but plaintext is cryptographically unreachable
+    val content = Seq("BT /F1 12 Tf 72 700 Td (Texto cifrado estable) Tj ET")
+    val builds = Seq(
+      "rc4" -> MiniPdf.buildEncrypted(content, "rc4-128", flate = true),
+      "aesv2" -> MiniPdf.buildEncrypted(content, "aesv2", flate = true),
+      "aesv3" -> MiniPdf.buildEncrypted(content, "aesv3", flate = true),
+      "locked" -> MiniPdf.buildEncrypted(content, "aesv3", userPw = "pw-9", flate = true))
+    val rnd = new scala.util.Random(23)
+    builds.foreach { case (name, base) =>
+      (1 to 150).foreach { i =>
+        val bytes = base.clone()
+        rnd.nextInt(3) match {
+          case 0 => bytes(rnd.nextInt(bytes.length)) = rnd.nextInt(256).toByte
+          case 1 =>
+            val r = graft.pipeline.Kernel.extractOne(bytes.take(rnd.nextInt(bytes.length)))
+            assert(r != null, s"$name truncation $i")
+          case _ => bytes(rnd.nextInt(bytes.length)) = '('
+        }
+        val r = graft.pipeline.Kernel.extractOne(bytes)
+        assert(r.status == "processed" || r.status == "error", s"$name flip $i: ${r.status}")
+        if (name == "locked")
+          assert(!r.text.contains("Texto cifrado"), s"$name flip $i leaked plaintext")
+      }
+    }
+  }
+
   test("computeU/computeO are deterministic pure functions") {
     val o1 = PdfCrypt.computeO("own".getBytes(ISO_8859_1), Array.emptyByteArray, 16, 3)
     val o2 = PdfCrypt.computeO("own".getBytes(ISO_8859_1), Array.emptyByteArray, 16, 3)
