@@ -69,10 +69,15 @@ object ScalingBench {
     if (args.length > 0 && args(0) == "once") {
       // once <cores> <sfDir> <replicas> <outJson> [slice]
       val slice = if (args.length > 5) args(5) else "all"
+      // validate + create the output path BEFORE the multi-minute run: a
+      // bad path must fail in milliseconds, not after the evidence exists
+      // only in a dying JVM
+      val out = Paths.get(io.PathGuard.checkWritable(args(4)))
+      Option(out.getParent).foreach(Files.createDirectories(_))
       val r = runOnce(args(1).toInt, args(2), args(3).toInt, slice)
       val line = toJson(r)
-      Files.writeString(Paths.get(io.PathGuard.checkWritable(args(4))), line)
       println(line)
+      Files.writeString(out, line)
       return
     }
     if (args.length > 0 && args(0) == "report") {

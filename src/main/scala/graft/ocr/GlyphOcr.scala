@@ -233,10 +233,13 @@ object GlyphOcr {
     */
   def recognize(gray: Array[Byte], w: Int, h: Int): OcrResult = {
     if (w <= 0 || h <= 0 || gray.length < w * h) return OcrResult("", 0, 0, 0.0)
-    val (mins, maxs, tw) = tileMinMax(gray, w, h)
+    val (mins, maxs, tw) = tileMinMax(gray, w, h) // rung-independent, shared
     val primary = recognizeAt(gray, w, h,
       tileThresholds(mins, maxs, tw, lowRung = false), tw)
-    if (primary.glyphs > 0 && primary.matched == primary.glyphs) primary
+    // glyphs == 0 skips the retry PROVABLY: the low rung's threshold is
+    // pointwise ≤ the midpoint's, so its ink set is a subset — bands and
+    // runs can only shrink, never appear. A blank page pays one pass.
+    if (primary.glyphs == 0 || primary.matched == primary.glyphs) primary
     else {
       val low = recognizeAt(gray, w, h,
         tileThresholds(mins, maxs, tw, lowRung = true), tw)
@@ -245,6 +248,14 @@ object GlyphOcr {
             (low.matchRate == primary.matchRate && low.glyphs > primary.glyphs))) low
       else primary
     }
+  }
+
+  /** One rung: binarize at the given bias and recognize. */
+  private def recognizeSingle(gray: Array[Byte], w: Int, h: Int,
+                              lowRung: Boolean): OcrResult = {
+    if (w <= 0 || h <= 0 || gray.length < w * h) return OcrResult("", 0, 0, 0.0)
+    val (mins, maxs, tw) = tileMinMax(gray, w, h)
+    recognizeAt(gray, w, h, tileThresholds(mins, maxs, tw, lowRung), tw)
   }
 
   private def recognizeAt(gray: Array[Byte], w: Int, h: Int,
@@ -513,8 +524,11 @@ object GlyphOcr {
     * read of at least this many glyphs: each extra perfectly-matching
     * glyph is an independent template coincidence, so a decimation fluke
     * clearing 8 is not a realistic event, while a true 2×/3× page of any
-    * substance clears it trivially (shorter true high-DPI pages still
-    * win — they just pay the remaining passes and prevail on match rate).
+    * substance clears it trivially. Shorter true high-DPI pages (down to
+    * 2 glyphs, perfect-read) pay the remaining passes and prevail on
+    * match rate through the candidate list; a 1-glyph high-DPI page is
+    * k=1-only and degrades — a single decimated blob matching a template
+    * is exactly the fluke the candidate floors exist to reject.
     */
   val PerfectExitGlyphs = 8
 
@@ -561,13 +575,25 @@ object GlyphOcr {
     // glyphs into few blobs. Requiring glyphs×2 ≥ k=1-glyphs kills the
     // fluke class (an out-of-universe page whose ~50 `?`-runs decimate
     // into ~18 quote/dot blobs at ≥0.5 rate) that would otherwise replace
-    // the honest structured degrade with garbage.
-    var cands: List[OcrResult] = Nil // k-descending order
-    var k = maxScale
-    while (k >= 2) {
+    // the honest structured degrade with garbage. A PERFECT decimated read
+    // is additionally admitted at 2 glyphs (a short true high-DPI page —
+    // "Hi" at 2× — reads 1.0 with both runs; two simultaneous template
+    // coincidences on a commensurate page are not a realistic fluke);
+    // 1-glyph pages stay k=1-only, a documented limitation.
+    //
+    // COST model: decimated passes run the PRIMARY rung only — the
+    // contrast-ladder retry is paid at k>1 only when the native read comes
+    // back imperfect (the dark-halo high-DPI case: its decimation misreads
+    // at the midpoint exactly like its native read does). A clean native
+    // page thus keeps the pre-ladder ~(1 + Σ 1/k²) ≈ 1.36× cost.
+    def admissible(r: OcrResult): Boolean =
+      r.matchRate >= DecimatedMinRate &&
+        (r.glyphs >= 3 || (r.glyphs == 2 && r.matchRate == 1.0))
+    def decimated(k: Int, lowRung: Boolean): OcrResult = {
       val wk = w / k
       val hk = h / k
-      if (wk > 0 && hk > 0) {
+      if (wk <= 0 || hk <= 0) OcrResult("", 0, 0, 0.0)
+      else {
         // scratch slot: every element of [0, wk*hk) is written below
         // before recognize reads it
         val ds = OcrScratch.local.get.dsBuf(wk * hk)
@@ -577,18 +603,33 @@ object GlyphOcr {
           while (x < wk) { ds(y * wk + x) = gray(y * k * w + x * k); x += 1 }
           y += 1
         }
-        val r = recognize(ds, wk, hk)
-        if (r.matchRate == 1.0 && r.glyphs >= PerfectExitGlyphs) return r
-        if (r.matchRate >= DecimatedMinRate && r.glyphs >= 3) cands ::= r
+        recognizeSingle(ds, wk, hk, lowRung)
       }
+    }
+    var cands: List[OcrResult] = Nil // prepended: reverse = evaluation order
+    var k = maxScale
+    while (k >= 2) {
+      val r = decimated(k, lowRung = false)
+      if (r.matchRate == 1.0 && r.glyphs >= PerfectExitGlyphs) return r
+      if (admissible(r)) cands ::= r
       k -= 1
     }
     val r1 = recognize(gray, w, h)
+    if (!(r1.glyphs > 0 && r1.matched == r1.glyphs)) {
+      // imperfect native read: give DPI detection its low-rung chance
+      k = maxScale
+      while (k >= 2) {
+        val r = decimated(k, lowRung = true)
+        if (r.matchRate == 1.0 && r.glyphs >= PerfectExitGlyphs) return r
+        if (admissible(r)) cands ::= r
+        k -= 1
+      }
+    }
     var best = r1
-    // k-descending evaluation order restored (cands was built k-descending
-    // then prepended): strict-better replacement keeps the larger k on
-    // decimated ties, and k=1 wins equal (rate, glyphs) because it is the
-    // baseline
+    // evaluation order: primary-rung candidates k-descending, then
+    // low-rung candidates k-descending; strict-better replacement keeps
+    // the earlier (larger-k, primary-rung) candidate on ties, and k=1
+    // wins equal (rate, glyphs) because it is the baseline
     cands.reverse.foreach { r =>
       if (r.glyphs * 2 >= r1.glyphs &&
           (r.matchRate > best.matchRate ||

@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * dedup stack internally on `xxhash64(id)`: a 64-bit collision merges two
   * documents' dup identity, so at most one of them can be misflagged `dup`
   * (never the reverse — a keep is never manufactured). Expected collisions
-  * are birthday-bounded at n²/2⁶⁵ (≈ 0.3 pairs at 10¹¹ docs); a corpus
+  * are birthday-bounded at n²/2⁶⁵ (≈ 0.3 pairs at 10⁹·⁵ ≈ 3×10⁹ docs,
+  * ≈ 270 pairs at 10¹¹ — i.e. a few hundred possibly-misflagged docs in a
+  * hundred-billion-doc corpus); a corpus
   * where even that is unacceptable should pre-assign dense numeric ids
   * (e.g. `zipWithIndex` at ingest) rather than pay a string-keyed shuffle
   * through the whole shingle pipeline.

@@ -73,7 +73,7 @@ object MiniPdf {
     w(s"xref\n0 ${offsets.length + 1}\n")
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%%%EOF\n")
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
 
     // pad with comment bytes to clear the ≥1024-byte validity floor
     if (out.size() < padTo) {
@@ -198,7 +198,7 @@ object MiniPdf {
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R /Info $infoNum 0 R " +
-      s"/Encrypt $encNum 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] >>\nstartxref\n$xrefPos\n%%%%EOF\n")
+      s"/Encrypt $encNum 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] >>\nstartxref\n$xrefPos\n%%EOF\n")
     if (out.size() < padTo) {
       w("%")
       while (out.size() < padTo - 1) out.write('x')
@@ -273,7 +273,7 @@ object MiniPdf {
         case None => w("0000000000 65535 f \n") // unused image slot of a text page
       }
     }
-    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%%%EOF\n")
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
     if (out.size() < padTo) {
       w("%")
       while (out.size() < padTo - 1) out.write('x')

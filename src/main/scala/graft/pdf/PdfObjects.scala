@@ -222,16 +222,18 @@ object PdfObjects {
     */
   final case class XrefEntry(kind: Int, a: Long, b: Int)
 
-  /** Chain-walk result: newest-wins object locations + whether any trailer
-    * (or xref-stream dict) carries /Encrypt — encrypted documents' stream
-    * payloads are ciphertext, so extraction must refuse rather than emit
-    * garbage.
+  /** Chain-walk result: newest-wins object locations + the newest
+    * trailer's /Encrypt value (`encryptRef`, when present — the document is
+    * encrypted and the extractor must decrypt or refuse typed) and first
+    * /ID string.
     */
-  final case class XrefChain(entries: Map[Int, XrefEntry], encrypted: Boolean,
+  final case class XrefChain(entries: Map[Int, XrefEntry],
                              encryptRef: Option[PVal] = None,
-                             id0: Array[Byte] = Array.emptyByteArray)
+                             id0: Array[Byte] = Array.emptyByteArray) {
+    def encrypted: Boolean = encryptRef.isDefined
+  }
   object XrefChain {
-    val empty: XrefChain = XrefChain(Map.empty, encrypted = false)
+    val empty: XrefChain = XrefChain(Map.empty)
   }
 
   /** Newest-wins object locations from the `startxref` → `/Prev` chain
@@ -249,17 +251,13 @@ object PdfObjects {
     if (first < 0) return XrefChain.empty
     val acc = mutable.Map.empty[Int, XrefEntry]
     val visited = mutable.Set.empty[Long]
-    var encrypted = false
     // first (= newest) sighting wins, same as the entry merge: incremental
     // updates copy /Encrypt and /ID forward, and the newest trailer is the
     // authoritative one
     var encryptRef: Option[PVal] = None
     var id0: Array[Byte] = Array.emptyByteArray
     def sight(trailer: PDict): Unit = {
-      if (trailer.m.contains("Encrypt")) {
-        encrypted = true
-        if (encryptRef.isEmpty) encryptRef = trailer.m.get("Encrypt")
-      }
+      if (encryptRef.isEmpty) encryptRef = trailer.m.get("Encrypt")
       if (id0.isEmpty) trailer.m.get("ID") match {
         case Some(PArr(items)) => items.headOption match {
           case Some(PStr(b)) => id0 = b
@@ -296,7 +294,7 @@ object PdfObjects {
         }
       }
     }
-    XrefChain(acc.toMap, encrypted, encryptRef, id0)
+    XrefChain(acc.toMap, encryptRef, id0)
   }
 
   /** One xref section (classic table or xref stream) at `off`: returns the

@@ -799,6 +799,13 @@ class OcrSpec extends AnyFunSuite {
     val res = GlyphOcr.recognizeAutoScale(bmp.gray, bmp.w, bmp.h)
     assert(res.text == "Hi 5", s"got '${res.text}'")
     assert(res.matchRate == 1.0 && res.glyphs < GlyphOcr.PerfectExitGlyphs)
+    // 2-glyph floor: a perfect decimated read of exactly two glyphs is
+    // still admitted (two simultaneous template coincidences on a
+    // glyph-commensurate page are not a realistic fluke)
+    val two = GlyphRender.upscale(GlyphRender.render(Vector("Hi")), 2)
+    val r2 = GlyphOcr.recognizeAutoScale(two.gray, two.w, two.h)
+    assert(r2.text == "Hi", s"2-glyph got '${r2.text}'")
+    assert(r2.matchRate == 1.0)
   }
 
   test("synthetic scanned corpus pages OCR back to their golden byte-exactly") {
