@@ -128,16 +128,17 @@ object SyntheticPages {
         else if (typeset && (variant / 4) % 2 == 1) graft.ocr.GlyphFont.Bold
         else graft.ocr.GlyphFont.Base
       // antialiasing halo (scanner point-spread): rotated through the
-      // lossless-Flate slots with clean lighting — light halo (160, above
-      // the Bernsen midpoint, invisible to the primary rung) and dark halo
-      // (96, the heavy-ink class only the contrast ladder's low rung
-      // reads). Excluded: DCT/JPEG (ringing composes with halo outside the
-      // binarization margin), CCITT (bilevel by construction), the
-      // lighting slots (gradient/fade remap assumes binary input), and
-      // alien (a midpoint-rung dilated fluke could beat the '?' degrade,
-      // making the open-world golden unpredictable)
+      // Flate AND DCT/JPEG slots with clean lighting — light halo (160,
+      // above the Bernsen midpoint, invisible to the primary rung) and
+      // dark halo (96, the heavy-ink class only the contrast ladder's low
+      // rung reads; JPEG ringing stays inside the quarter-threshold
+      // margin, probed gray+RGB before inclusion). Excluded: CCITT
+      // (bilevel by construction), the lighting slots (gradient/fade
+      // remap assumes binary input), and alien (a midpoint-rung dilated
+      // fluke could beat the '?' degrade, making the open-world golden
+      // unpredictable)
       val halo =
-        if (alien || variant % 5 > 1 || variant % 10 == 0) 0
+        if (alien || variant % 5 == 3 || variant % 10 == 0) 0
         else (variant % 3) match { case 1 => 160; case 2 => 96; case _ => 0 }
       val bmp = graft.ocr.GlyphRender.upscale(
         graft.ocr.GlyphRender.render(lines, skew,

@@ -750,6 +750,23 @@ class OcrSpec extends AnyFunSuite {
     assert(doc.confidence == 100.0)
   }
 
+  test("dark halo survives JPEG encoding (gray and RGB) through the ladder") {
+    // JPEG ringing around the halo'd strokes must stay inside the low
+    // rung's quarter-threshold margin — probed before the corpus DCT
+    // slots took halo, pinned here
+    val lines = Vector("The quick Brown fox,", "jumps over 13 dogs!")
+    val b = GlyphRender.render(lines, haloGray = 96)
+    val gray = graft.pdf.PdfExtractor.extract(
+      graft.pdf.MiniPdf.buildScanned(b.gray, b.w, b.h, dct = true)).toOption.get
+    assert(gray.text == lines.mkString("\n"), s"gray got '${gray.text}'")
+    assert(gray.confidence == 100.0)
+    val rgb = graft.pdf.PdfExtractor.extract(
+      graft.pdf.MiniPdf.buildScanned(GlyphRender.toRgb(b), b.w, b.h,
+        rgb = true, dct = true)).toOption.get
+    assert(rgb.text == lines.mkString("\n"), s"rgb got '${rgb.text}'")
+    assert(rgb.confidence == 100.0)
+  }
+
   test("ladder does not regress the adaptive-lighting or blank-floor behavior") {
     // faded low-contrast page (ink 150 / bg 205) still reads on the
     // primary rung, and a bare illumination gradient still binarizes to
