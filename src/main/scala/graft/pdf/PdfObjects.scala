@@ -870,6 +870,7 @@ object PdfObjects {
           case "ASCIIHexDecode" => asciiHexDecode(d)
           case "ASCII85Decode" => ascii85Decode(d)
           case "LZWDecode" => lzwDecode(d, parm(pd, "EarlyChange", 1)).flatMap(depredict)
+          case "RunLengthDecode" => runLengthDecode(d)
           case other => Left(s"unsupported_filter:$other")
         }
       case (l, _) => l
@@ -1050,6 +1051,32 @@ object PdfObjects {
     if (k == 1) return Left("ascii85_truncated_group")
     if (k > 1) flush(k)
     Right(out.toByteArray)
+  }
+
+  /** PDF 1.7 §7.4.5 RunLengthDecode: length byte L ∈ [0,127] copies the
+    * next L+1 bytes literally; L ∈ [129,255] repeats the next byte
+    * 257−L times; L = 128 is EOD. A run that would read past the input is
+    * truncation → typed error (never emit a partial row silently).
+    */
+  def runLengthDecode(data: Array[Byte]): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      if (l == 128) return Right(out.toByteArray) // EOD
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return Left("rle_truncated_literal")
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return Left("rle_truncated_run")
+        val b = data(i + 1)
+        var n = 257 - l
+        while (n > 0) { out.write(b); n -= 1 }
+        i += 2
+      }
+    }
+    Right(out.toByteArray) // missing EOD tolerated (common in the wild)
   }
 
   def inflate(data: Array[Byte]): Either[String, Array[Byte]] = {

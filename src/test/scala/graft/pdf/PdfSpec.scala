@@ -115,6 +115,43 @@ class PdfSpec extends AnyFunSuite {
       "producer" -> "graft"))
   }
 
+  test("RunLengthDecode: literals, runs, EOD, truncation, end-to-end") {
+    import PdfObjects.runLengthDecode
+    // literal + run + EOD (PDF 1.7 §7.4.5)
+    val enc = Array[Byte](2, 'a', 'b', 'c', (257 - 5).toByte, 'x', 0, 'z', 128.toByte)
+    assert(runLengthDecode(enc).toOption.get.sameElements("abcxxxxxz".getBytes))
+    // missing EOD tolerated
+    assert(runLengthDecode(Array[Byte](1, 'h', 'i')).toOption.get
+      .sameElements("hi".getBytes))
+    // truncated literal / truncated run → typed errors
+    assert(runLengthDecode(Array[Byte](5, 'a')).isLeft)
+    assert(runLengthDecode(Array[Byte](200.toByte)).isLeft)
+    // end-to-end: a RunLengthDecode content stream through the extractor
+    // (the run branch is exercised by the repeated dots)
+    val plain = "BT /F1 12 Tf 72 700 Td (RLE works.......) Tj ET".getBytes(ISO_8859_1)
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < plain.length) { // literal-chunk encoder, runs left as literals
+      val n = math.min(128, plain.length - i)
+      bos.write(n - 1); bos.write(plain, i, n); i += n
+    }
+    bos.write(128)
+    val payload = bos.toByteArray
+    val pdf = ("%PDF-1.7\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [ 3 0 R ] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n" +
+      "4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
+      s"5 0 obj << /Length ${payload.length} /Filter /RunLengthDecode >> stream\n")
+      .getBytes(ISO_8859_1) ++ payload ++
+      "\nendstream endobj\n".getBytes(ISO_8859_1) ++
+      // pad past the validity floor
+      ("%" + "x" * 1024 + "\n%%EOF\n").getBytes(ISO_8859_1)
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.text == "RLE works.......", s"got '${d.text}'")
+  }
+
   test("property: extractor is total on corrupted variants") {
     val base = MiniPdf.build(Seq(MiniPdf.streamFor(Seq(("Some stable text here", 100, 700)))), flate = true)
     val rnd = new scala.util.Random(11)
