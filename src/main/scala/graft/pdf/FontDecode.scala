@@ -180,11 +180,12 @@ object FontDecode {
                     Some(fname -> FontDec(2, identityGidMap(f, objs)))
                 }
               case None =>
-                // simple font: /Encoding /Differences remaps single bytes
-                differencesMap(f, objs) match {
-                  case m if m.nonEmpty => Some(fname -> FontDec(1, m))
-                  case _ => None // default Latin-1 path
-                }
+                // simple font: base encoding (WinAnsi's 0x80-0x9F
+                // smart-punctuation block, MacRoman's full high range)
+                // overridden by /Encoding /Differences single-byte remaps
+                val m = baseEncodingMap(f, objs) ++ differencesMap(f, objs)
+                if (m.nonEmpty) Some(fname -> FontDec(1, m))
+                else None // default Latin-1 path
             }
           }
         }
@@ -273,6 +274,44 @@ object FontDecode {
     * `uniXXXX`/`uXXXX` systematic forms; unknown names are skipped
     * (those bytes fall back to identity).
     */
+  /** Codes where a named base encoding disagrees with the default Latin-1
+    * interpretation (PDF 1.7 Annex D): /WinAnsiEncoding is windows-1252
+    * (the 0x80–0x9F smart quotes/dashes/€ block Word-authored PDFs use),
+    * /MacRomanEncoding is the in-JDK x-MacRoman (its whole high range
+    * differs). Built once per encoding via the JDK charset — only bytes
+    * whose decode differs from the byte's own codepoint are mapped, so
+    * the ASCII/Latin-1-agreeing majority stays on the default path.
+    * /StandardEncoding's Adobe-specific high range has no JDK charset and
+    * keeps the documented Latin-1 degrade. /Encoding may be the bare name
+    * or a dict carrying /BaseEncoding (composed with /Differences by the
+    * caller — differences override the base).
+    */
+  private def buildBaseMap(charsetName: String): Map[Int, String] =
+    try {
+      val cs = java.nio.charset.Charset.forName(charsetName)
+      (128 until 256).flatMap { b =>
+        val s = new String(Array(b.toByte), cs)
+        if (s.length == 1 && s.charAt(0) != '�' && s.charAt(0).toInt != b)
+          Some(b -> s)
+        else None
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  private lazy val winAnsiMap: Map[Int, String] = buildBaseMap("windows-1252")
+  private lazy val macRomanMap: Map[Int, String] = buildBaseMap("x-MacRoman")
+
+  def baseEncodingMap(font: PDict, objs: Objects): Map[Int, String] = {
+    val encName = objs.resolve(font.m.getOrElse("Encoding", PNull)) match {
+      case PName(n) => Some(n)
+      case d: PDict => objs.name(d.m.getOrElse("BaseEncoding", PNull))
+      case _ => None
+    }
+    encName match {
+      case Some("WinAnsiEncoding") => winAnsiMap
+      case Some("MacRomanEncoding") => macRomanMap
+      case _ => Map.empty
+    }
+  }
+
   def differencesMap(font: PDict, objs: Objects): Map[Int, String] = {
     val diffs = for {
       enc <- objs.dict(font.m.getOrElse("Encoding", PNull))

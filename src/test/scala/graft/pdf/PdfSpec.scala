@@ -467,6 +467,39 @@ class PdfSpec extends AnyFunSuite {
     assert(text(out.toByteArray) == "pi\u00f1a \u00e9 \u20ac5")
   }
 
+  test("simple-font base encodings: WinAnsi smart punctuation, MacRoman high range") {
+    def onePage(fontObj: String, content: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(x: String): Unit = out.write(x.getBytes(ISO_8859_1))
+      w("%PDF-1.7\n")
+      w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+      w(s"3 0 obj\n$fontObj\nendobj\n")
+      w("4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+      w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n%%EOF\n")
+      while (out.size() < 1024) out.write('%')
+      out.toByteArray
+    }
+    // WinAnsi: 0x93/0x94 curly double quotes, 0x97 em-dash, 0x80 euro —
+    // the windows-1252 block Latin-1 reads as C1 controls
+    val win = onePage(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
+      "BT /F1 12 Tf 72 700 Td (\\223ok\\224 \\227 \\2005) Tj ET")
+    assert(text(win) == "“ok” — €5", s"got '${text(win)}'")
+    // MacRoman: 0x8E é, 0xD2/0xD3 curly double quotes
+    val mac = onePage(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /MacRomanEncoding >>",
+      "BT /F1 12 Tf 72 700 Td (caf\\216 \\322si\\323) Tj ET")
+    assert(text(mac) == "café “si”", s"got '${text(mac)}'")
+    // dict form: /BaseEncoding composes with /Differences, differences win
+    val mixed = onePage(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding " +
+        "<< /Type /Encoding /BaseEncoding /WinAnsiEncoding /Differences [ 151 /ntilde ] >> >>",
+      "BT /F1 12 Tf 72 700 Td (\\223a\\227b\\224) Tj ET")
+    assert(text(mixed) == "“añb”", s"got '${text(mixed)}'")
+  }
+
   test("glyph names starting with 'u' at hex-plausible lengths hit the AGL table") {
     // "uacute"/"ugrave" look like uXXXX systematic names (len 5-7, lead 'u')
     // but their tails are not hex — they must resolve via AGL, not die on
