@@ -19,7 +19,8 @@ object MiniPdf {
     * `withFont = false` omits the /Font resource (image-only/scanned shapes).
     */
   def build(pageStreams: Seq[String], flate: Boolean = false, padTo: Int = 1024,
-            withFont: Boolean = true, info: Seq[(String, String)] = Nil): Array[Byte] = {
+            withFont: Boolean = true, info: Seq[(String, String)] = Nil,
+            rawInfo: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
 
@@ -60,10 +61,13 @@ object MiniPdf {
     // table whose header-number mismatch silently demoted parsing to the
     // body scan, leaving the authoritative-xref path untested by Info
     // fixtures
-    if (info.nonEmpty) {
+    if (info.nonEmpty || rawInfo.nonEmpty) {
       val infoNum = 4 + 2 * nPages
       obj {
-        val entries = info.map { case (k, v) => s"/$k (${escape(v)})" }.mkString(" ")
+        // rawInfo values are emitted VERBATIM (hex strings, refs) — the
+        // BOM'd-text-string fixtures need exact bytes, not escapes
+        val entries = (info.map { case (k, v) => s"/$k (${escape(v)})" } ++
+          rawInfo.map { case (k, v) => s"/$k $v" }).mkString(" ")
         w(s"$infoNum 0 obj\n<< $entries >>\nendobj\n")
       }
     }

@@ -154,8 +154,9 @@ object PdfExtractor {
         keys.flatMap { k =>
           d.m.get(k) match {
             case Some(PStr(b)) =>
-              Some(k.toLowerCase(java.util.Locale.ROOT) ->
-                new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+              // text-string decode: UTF-16BE/UTF-8 by BOM, else
+              // PDFDocEncoding (PDF 1.7 §7.9.2.2)
+              Some(k.toLowerCase(java.util.Locale.ROOT) -> textString(b))
             case _ => None
           }
         }.toMap

@@ -1053,6 +1053,46 @@ object PdfObjects {
     Right(out.toByteArray)
   }
 
+  /** PDF text string (PDF 1.7 §7.9.2.2) → Unicode: a FE FF BOM marks
+    * UTF-16BE (how Acrobat/Word write every non-ASCII /Info value), an
+    * EF BB BF BOM marks UTF-8 (PDF 2.0 §7.9.2.2.1); everything else is
+    * PDFDocEncoding — Latin-1 except the 0x18–0x1F accent modifiers and
+    * the 0x80–0xA0 publishing block (Annex D.3: bullets, daggers, smart
+    * quotes, ligatures, Euro at 0xA0), mapped here so a PDFDocEncoding
+    * title's smart punctuation doesn't surface as C1 control bytes.
+    */
+  def textString(b: Array[Byte]): String = {
+    if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+             b(2) == 0xBF.toByte)
+      new String(b, 3, b.length - 3, java.nio.charset.StandardCharsets.UTF_8)
+    else {
+      val sb = new java.lang.StringBuilder(b.length)
+      var i = 0
+      while (i < b.length) {
+        val c = b(i) & 0xFF
+        val mapped = PdfDocEncodingHigh.getOrElse(c, c.toChar)
+        sb.append(mapped)
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** PDFDocEncoding codes that differ from Latin-1 (PDF 1.7 Annex D.3). */
+  private val PdfDocEncodingHigh: Map[Int, Char] = Map(
+    0x18 -> '˘', 0x19 -> 'ˇ', 0x1A -> 'ˆ', 0x1B -> '˙',
+    0x1C -> '˝', 0x1D -> '˛', 0x1E -> '˚', 0x1F -> '˜',
+    0x80 -> '•', 0x81 -> '†', 0x82 -> '‡', 0x83 -> '…',
+    0x84 -> '—', 0x85 -> '–', 0x86 -> 'ƒ', 0x87 -> '⁄',
+    0x88 -> '‹', 0x89 -> '›', 0x8A -> '−', 0x8B -> '‰',
+    0x8C -> '„', 0x8D -> '“', 0x8E -> '”', 0x8F -> '‘',
+    0x90 -> '’', 0x91 -> '‚', 0x92 -> '™', 0x93 -> 'ﬁ',
+    0x94 -> 'ﬂ', 0x95 -> 'Ł', 0x96 -> 'Œ', 0x97 -> 'Š',
+    0x98 -> 'Ÿ', 0x99 -> 'Ž', 0x9A -> 'ı', 0x9B -> 'ł',
+    0x9C -> 'œ', 0x9D -> 'š', 0x9E -> 'ž', 0xA0 -> '€')
+
   /** PDF 1.7 §7.4.5 RunLengthDecode: length byte L ∈ [0,127] copies the
     * next L+1 bytes literally; L ∈ [129,255] repeats the next byte
     * 257−L times; L = 128 is EOD. A run that would read past the input is

@@ -115,6 +115,29 @@ class PdfSpec extends AnyFunSuite {
       "producer" -> "graft"))
   }
 
+  test("/Info text strings: UTF-16BE BOM, PDFDocEncoding high block, UTF-8 BOM") {
+    import PdfObjects.textString
+    // UTF-16BE with BOM — how Acrobat writes every non-ASCII title
+    val utf16 = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+      "Año 2026 — informe".getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    assert(textString(utf16) == "Año 2026 — informe")
+    // PDF 2.0 UTF-8 BOM
+    val utf8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "świat".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(textString(utf8) == "świat")
+    // PDFDocEncoding: 0x8D/0x8E smart quotes, 0x84 em-dash, 0xA0 euro
+    assert(textString(Array[Byte](0x8D.toByte, 'o', 'k', 0x8E.toByte, ' ',
+      0x84.toByte, ' ', 0xA0.toByte, '5')) == "“ok” — €5")
+    // plain ASCII stays identical
+    assert(textString("D:20260817120000Z".getBytes(ISO_8859_1)) == "D:20260817120000Z")
+    // end-to-end: a UTF-16BE /Title through the /Info probe
+    val hexTitle = utf16.map(b => f"${b & 0xFF}%02X").mkString
+    val pdf = MiniPdf.build(Seq(MiniPdf.streamFor(Seq(("body", 72, 700)))),
+      info = Seq("Author" -> "Unidad OCR"), rawInfo = Seq("Title" -> s"<$hexTitle>"))
+    val d = PdfExtractor.extract(pdf).toOption.get
+    assert(d.metadata("title") == "Año 2026 — informe", s"got ${d.metadata}")
+  }
+
   test("RunLengthDecode: literals, runs, EOD, truncation, end-to-end") {
     import PdfObjects.runLengthDecode
     // literal + run + EOD (PDF 1.7 §7.4.5)
