@@ -362,6 +362,31 @@ object SparkEntry {
     // (both sides plant identically), then any shared word 8-gram flags the
     // training doc — the eval n-gram set broadcasts (tiny next to the
     // corpus), the canonical production shape
+    // Unicode normalization for curation: the same word with precomposed
+    // vs combining accents would fingerprint/dedup differently, so text is
+    // NFC-normalized before hashing and accent-folded for fuzzy matching.
+    // Decomposed sequences are planted deterministically from the text's
+    // own precomposed accents (é/ó/ü → base + combining mark, identically
+    // on both sides); graft_nfc must recompose them back to the original
+    // (restored = true wherever the source text is NFC). Both expressions
+    // are native codegen'd Catalyst UnaryExpressions (GraftFunctions).
+    "t11_normalize" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{nfcNormalize, stripAccents}
+      // the driver's documents are ASCII-only, so accents are PLANTED
+      // identically on both sides (oracle: the same suffix via chr());
+      // without the plant every row would be a zero-diff trivial pass
+      val ptext = concat(col("text"),
+        lit(" r\u00e9sum\u00e9 \u00f1o\u00f1o \u00fcber \u00c5ngstr\u00f6m"))
+      val d = regexp_replace(regexp_replace(regexp_replace(ptext,
+        "\u00e9", "e\u0301"), "\u00f3", "o\u0301"), "\u00fc", "u\u0308")
+      documents(s, dir).select(
+        col("doc_id"),
+        length(d).cast("long").as("len_decomposed"),
+        length(nfcNormalize(d)).cast("long").as("len_nfc"),
+        (nfcNormalize(d) === ptext).as("restored"),
+        length(stripAccents(ptext)).cast("long").as("len_folded"))
+        .orderBy("doc_id")
+    }),
     "t10_decontaminate" -> ((s, dir) => {
       import graft.ops.TextStats._
       val docs = documents(s, dir)
@@ -1239,6 +1264,27 @@ object SparkEntry {
         |  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
         |             FILTER (kept), '') AS clean_text
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same deterministic decomposition, DuckDB's own nfc_normalize /
+    // strip_accents as the independent normalizer
+    "t11_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    text || ' r' || chr(233) || 'sum' || chr(233) || ' ' ||
+        |      chr(241) || 'o' || chr(241) || 'o ' || chr(252) || 'ber ' ||
+        |      chr(197) || 'ngstr' || chr(246) || 'm' AS ptext
+        |  FROM documents),
+        |dd AS (
+        |  SELECT doc_id, ptext,
+        |    replace(replace(replace(ptext,
+        |      chr(233), 'e' || chr(769)), chr(243), 'o' || chr(769)),
+        |      chr(252), 'u' || chr(776)) AS d
+        |  FROM m)
+        |SELECT doc_id,
+        |  length(d) AS len_decomposed,
+        |  length(nfc_normalize(d)) AS len_nfc,
+        |  nfc_normalize(d) = ptext AS restored,
+        |  length(strip_accents(ptext)) AS len_folded
+        |FROM dd ORDER BY doc_id""".stripMargin,
     // eval set + planted seed re-derived; overlap = distinct shared 8-grams
     "t10_decontaminate" ->
       """WITH seed AS (

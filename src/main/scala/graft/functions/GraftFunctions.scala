@@ -80,6 +80,64 @@ object GraftFunctions {
       copy(child = newChild)
   }
 
+  /** Unicode NFC normalization as a native codegen'd expression: Spark has
+    * no builtin normalizer, and the op sits on the curation hot path
+    * (normalize-before-fingerprint). `defineCodeGen` keeps it inside
+    * whole-stage codegen as one static call per row.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nfc expects STRING, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      TextNorm.nfc(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.nfc($c)")
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
+
+  /** Accent folding (NFD + combining-mark removal), DuckDB `strip_accents`
+    * semantics — codegen'd like [[NfcNormalize]].
+    */
+  case class StripAccents(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_strip_accents"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_strip_accents expects STRING, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      TextNorm.stripAccents(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.stripAccents($c)")
+    override protected def withNewChildInternal(newChild: Expression): StripAccents =
+      copy(child = newChild)
+  }
+
+  /** Column-API handles for the normalization expressions. */
+  def nfcNormalize(col: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NfcNormalize(Bridge.expression(col)))
+  }
+  def stripAccents(col: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(StripAccents(Bridge.expression(col)))
+  }
+
   /** Column-tree builders re-exposed to SQL (stay codegen'd). */
   private def columnFns: Seq[(String, Seq[Expression] => Expression)] = {
     import graft.ops.TextStats
@@ -95,7 +153,11 @@ object GraftFunctions {
   }
 
   private[functions] def injectables: Seq[(String, Seq[Expression] => Expression)] =
-    ("graft_extract" -> ((es: Seq[Expression]) => GraftExtract(es.head): Expression)) +: columnFns
+    Seq[(String, Seq[Expression] => Expression)](
+      "graft_extract" -> ((es: Seq[Expression]) => GraftExtract(es.head)),
+      "graft_nfc" -> ((es: Seq[Expression]) => NfcNormalize(es.head)),
+      "graft_strip_accents" -> ((es: Seq[Expression]) => StripAccents(es.head))
+    ) ++ columnFns
 
   def register(spark: SparkSession): Unit =
     injectables.foreach { case (name, builder) =>

@@ -26,6 +26,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getString(4) == "T")
   }
 
+  test("graft_nfc / graft_strip_accents: codegen'd normalization expressions") {
+    // NFC recomposition: e + U+0301 → é; already-NFC strings unchanged;
+    // accent folding: é→e ñ→n ü→u Å→A; ß/ø (no decomposition) untouched;
+    // NULL propagates
+    Seq(("a", "re\u0301sume\u0301"), ("b", "résumé"), ("c", "ß ø plain"),
+      ("d", null)).toDF("id", "t").createOrReplaceTempView("norm_v")
+    val rows = spark.sql(
+      "SELECT id, graft_nfc(t) AS n, graft_strip_accents(t) AS f FROM norm_v ORDER BY id")
+      .collect()
+    assert(rows(0).getString(1) == "résumé" && rows(0).getString(2) == "resume")
+    assert(rows(1).getString(1) == "résumé" && rows(1).getString(2) == "resume")
+    assert(rows(2).getString(1) == "ß ø plain" && rows(2).getString(2) == "ß ø plain")
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+    // astral plane survives round-trip (UTF8String ↔ String surrogates)
+    val astral = spark.sql("SELECT graft_nfc('\uD835\uDC9C b')").head().getString(0)
+    assert(astral == "\uD835\uDC9C b")
+    // Column API matches SQL; both stay inside whole-stage codegen
+    val viaCol = Seq("Ångström").toDF("t")
+      .select(GraftFunctions.stripAccents(col("t"))).head().getString(0)
+    assert(viaCol == "Angstrom")
+    // a LocalRelation collapses to interpreted driver-side eval, so drive
+    // the GENERATED code through a Range scan: values prove doGenCode
+    // compiles and runs, the plan proves the expressions stay inside
+    // whole-stage codegen
+    val gen = spark.range(2).selectExpr(
+      "graft_nfc(concat('re\u0301sume\u0301 ', string(id))) AS n",
+      "graft_strip_accents(concat('r\u00e9sum\u00e9 ', string(id))) AS f")
+    val genRows = gen.orderBy("n").collect()
+    assert(genRows(0).getString(0) == "r\u00e9sum\u00e9 0" &&
+      genRows(0).getString(1) == "resume 0")
+    assert(genRows(1).getString(0) == "r\u00e9sum\u00e9 1")
+    // codegen spans print as "*(n) Operator" in the condensed plan string
+    val plan = gen.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
+  }
+
   test("graft_extract routes PDF payloads too") {
     val pdf = graft.pdf.MiniPdf.singlePage(Seq(("Desde SQL", 72, 700)))
     Seq(("u2", pdf)).toDF("url", "html").createOrReplaceTempView("pages_pdf_v")
