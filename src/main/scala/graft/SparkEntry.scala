@@ -575,8 +575,17 @@ object SparkEntry {
     // count / GMJ1 container frame count), the oracle re-derives the
     // generator's formulas in splitmix64 SQL
     "m02_multimodal_meta" -> ((s, dir) => {
+      // kind is a pure function of the id (synthesize: id%3 → image/audio/
+      // video), but the mapPartitions generator is opaque to Catalyst, so
+      // the kind filter below cannot push past it on its own — without the
+      // manual pushdown every image PNG is synthesized only to be dropped.
+      // The `kind =!= "image"` filter stays as the semantic guard: if the
+      // pushdown predicate ever drifted from the generator's rotation the
+      // result would lose rows and the oracle would catch it, never gain
+      // spurious ones.
       graft.ops.Multimodal.decodedMeta(
-          graft.ops.Multimodal.synthesize(documents(s, dir)))
+          graft.ops.Multimodal.synthesize(
+            documents(s, dir).where(col("doc_id") % 3 =!= 0)))
         .where(col("kind") =!= "image")
         .orderBy("doc_id")
     }),

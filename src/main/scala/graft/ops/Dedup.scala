@@ -49,13 +49,18 @@ object Dedup {
     } else {
       var i = 0
       while (i + p.shingleSize <= toks.length) {
-        val sb = new java.lang.StringBuilder
+        // allocation-free fnv64 over the space-joined shingle (see
+        // shingleArray: FNV is a left-to-right char fold)
+        var h = 0xCBF29CE484222325L
         var j = 0
         while (j < p.shingleSize) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j)); j += 1
+          if (j > 0) { h ^= ' '; h *= 0x100000001B3L }
+          val t = toks(i + j)
+          var k = 0
+          while (k < t.length) { h ^= t.charAt(k); h *= 0x100000001B3L; k += 1 }
+          j += 1
         }
-        mixInto(sig, fnv64(sb.toString), p)
+        mixInto(sig, h, p)
         i += 1
       }
     }
@@ -95,8 +100,13 @@ object Dedup {
     h
   }
 
+  // precompiled: String.split(regex) recompiles the Pattern on every call
+  // for multi-char regexes — pure per-document overhead in the tokenize
+  // pass every dedup stage funnels through
+  private val TokenSplit = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
   private def tokenize(text: String): Array[String] =
-    text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    TokenSplit.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   /** id → signature, one narrow pass. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
@@ -296,13 +306,20 @@ object Dedup {
         val out = new Array[Long](toks.length - n + 1)
         var i = 0
         while (i + n <= toks.length) {
-          val sb = new java.lang.StringBuilder
+          // fnv64 of the space-joined shingle, folded straight over the
+          // token chars — bit-identical to hashing the built string (FNV is
+          // a left-to-right char fold), without the per-shingle
+          // StringBuilder + String allocation
+          var h = 0xCBF29CE484222325L
           var j = 0
           while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j)); j += 1
+            if (j > 0) { h ^= ' '; h *= 0x100000001B3L }
+            val t = toks(i + j)
+            var k = 0
+            while (k < t.length) { h ^= t.charAt(k); h *= 0x100000001B3L; k += 1 }
+            j += 1
           }
-          out(i) = fnv64(sb.toString)
+          out(i) = h
           i += 1
         }
         out
@@ -483,23 +500,30 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     val spark = pairs.sparkSession
+    // edges carry a SELF-LOOP per node: one edge⋈label join then delivers a
+    // node its own label alongside its neighbors' in the same aggregation
+    // (min(label) = new label; the dst==src row's label = old label), so
+    // each round is ONE join + ONE groupBy instead of the former
+    // join + groupBy + join-back-to-labels — one fewer shuffle per round at
+    // identical label math.
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val edgesSelf = edges
+      .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .persist()
+    var labels = nodes.withColumn("label", col("id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
+      val next = edgesSelf
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .agg(min("label").as("label"),
+          min(when(col("dst") === col("src"), col("label"))).as("old"))
         .localCheckpoint() // truncate lineage; also materializes for the count
       changed = next.where(col("label") < col("old")).count()
       labels = next.select("id", "label")
@@ -514,6 +538,7 @@ object Dedup {
         s"[graft] Dedup.clusters: label propagation NOT converged after " +
           s"$maxIter iterations ($changed labels still shrinking); " +
           s"components with diameter > $maxIter are split — raise maxIter")
+    edgesSelf.unpersist()
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import scala.util.control.NonFatal
@@ -43,22 +44,17 @@ object Multimodal {
   val FrameW = 16
   val FrameH = 12
 
-  /** Per-thread ImageIO scratch: cached PNG reader/writer instances.
-    * `ImageIO.read`/`write` re-instantiate a plugin and re-scan the
-    * registry on every call — across hundreds of thousands of small
-    * assets that setup dominates the pixel work itself (the assets are
-    * 16–40 px tiles). The reader fast path applies only to payloads
-    * carrying the PNG magic; anything else falls back to the
-    * auto-detecting generic path, so behavior on non-PNG bytes (BMP/GIF/
-    * JPEG or garbage) is unchanged.
+  /** Per-thread ImageIO scratch: cached PNG reader instance.
+    * `ImageIO.read` re-instantiates a plugin and re-scans the registry on
+    * every call — across hundreds of thousands of small assets that setup
+    * dominates the pixel work itself (the assets are 16–40 px tiles). The
+    * reader fast path applies only to payloads carrying the PNG magic;
+    * anything else falls back to the auto-detecting generic path, so
+    * behavior on non-PNG bytes (BMP/GIF/JPEG or garbage) is unchanged.
     */
   private final class IoScratch {
     val reader: javax.imageio.ImageReader = {
       val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
-      if (it.hasNext) it.next() else null
-    }
-    val writer: javax.imageio.ImageWriter = {
-      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
       if (it.hasNext) it.next() else null
     }
   }
@@ -75,21 +71,73 @@ object Multimodal {
   private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val r = ioScratch.get.reader
     if (r != null && isPng(payload)) {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream directly: ImageIO.createImageInputStream
+      // defaults to a DISK-backed cache stream (one temp file per decode —
+      // pure I/O overhead for payloads already in memory)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try { r.setInput(iis); r.read(0) } finally { r.setInput(null); iis.close() }
     } else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
   }
 
-  /** `ImageIO.write(img, "png", …)` with the cached writer. */
-  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val w = ioScratch.get.writer
-    if (w == null) { javax.imageio.ImageIO.write(img, "png", bos); return bos.toByteArray }
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try { w.setOutput(ios); w.write(img) } finally { w.setOutput(null); ios.close() }
-    bos.toByteArray
+  /** Minimal RGB8 PNG encoder: color type 2, bit depth 8, filter None,
+    * STORED-deflate zlib blocks. The ImageIO writer spends its time on the
+    * adaptive per-scanline filter search and an LZ77 pass that win nothing
+    * on these tile-sized pseudo-random assets (≤ 40×28; splitmix64 pixels
+    * are incompressible), and the decode side inflates stored blocks as a
+    * straight copy. PNG is lossless regardless of deflate strategy, so
+    * decoded PIXELS — the only thing any declared output derives from —
+    * are bit-identical; payload bytes differ, which is why byte_len is
+    * deliberately absent from m01 (encoder-dependent).
+    */
+  private def encodePngRgb(pix: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val stride = 3 * w + 1
+    val raw = new Array[Byte](stride * h)
+    var p = 0; var i = 0; var y = 0
+    while (y < h) {
+      raw(p) = 0 // filter: None
+      p += 1
+      var x = 0
+      while (x < w) {
+        val v = pix(i); i += 1
+        raw(p) = ((v >> 16) & 0xFF).toByte
+        raw(p + 1) = ((v >> 8) & 0xFF).toByte
+        raw(p + 2) = (v & 0xFF).toByte
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.NO_COMPRESSION)
+    defl.setInput(raw); defl.finish()
+    val idat = new Array[Byte](raw.length + raw.length / 65535 * 5 + 32)
+    var n = 0
+    while (!defl.finished()) n += defl.deflate(idat, n, idat.length - n)
+    defl.end()
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + (12 + n) + 12)
+    out.putLong(0x89504E470D0A1A0AL) // PNG signature
+    val crc = new java.util.zip.CRC32
+    def chunk(tag: String, data: Array[Byte], len: Int): Unit = {
+      out.putInt(len)
+      val t = tag.getBytes(StandardCharsets.US_ASCII)
+      out.put(t); out.put(data, 0, len)
+      crc.reset(); crc.update(t); crc.update(data, 0, len)
+      out.putInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array(), 13)
+    chunk("IDAT", idat, n)
+    chunk("IEND", Array.emptyByteArray, 0)
+    out.array()
   }
+
+  /** PNG-encode a BufferedImage (resize path): bulk-read the pixels, then
+    * [[encodePngRgb]].
+    */
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] =
+    encodePngRgb(img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth),
+      img.getWidth, img.getHeight)
 
   /** Deterministic synthetic assets derived from doc ids (no external data):
     * kind rotates image/audio/video; image payloads are real PNGs, audio
@@ -122,21 +170,22 @@ object Multimodal {
   def synthesizeImage(id: Long, w: Int, h: Int): Array[Byte] =
     pngOf(id * 1000003L, w, h)
 
-  /** PNG whose pixel (x, y) is splitmix64(seedBase + y*131 + x) & 0xFFFFFF. */
+  /** PNG whose pixel (x, y) is splitmix64(seedBase + y*131 + x) & 0xFFFFFF.
+    * Pixels are synthesized straight into the encoder's int array — no
+    * BufferedImage, no per-pixel setRGB color-model round trip.
+    */
   private def pngOf(seedBase: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
+    val pix = new Array[Int](w * h)
+    var y = 0; var i = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = Dedup.splitmix64(seedBase + y.toLong * 131L + x)
-        img.setRGB(x, y, (v & 0xFFFFFF).toInt)
-        x += 1
+        pix(i) = (Dedup.splitmix64(seedBase + y.toLong * 131L + x) & 0xFFFFFF).toInt
+        i += 1; x += 1
       }
       y += 1
     }
-    writePng(img)
+    encodePngRgb(pix, w, h)
   }
 
   /** MJPEG-style container of REAL PNG frames: `GMJ1` magic, then per frame
@@ -216,17 +265,16 @@ object Multimodal {
       else {
         val bins = new Array[Long](16)
         val w = img.getWidth; val h = img.getHeight
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            bins(lum >> 4) += 1L
-            x += 1
-          }
-          y += 1
+        // one bulk getRGB: same per-pixel values as the scalar call, minus
+        // the per-call bounds/color-model dispatch overhead
+        val pix = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < pix.length) {
+          val rgb = pix(i)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          bins(lum >> 4) += 1L
+          i += 1
         }
         Some(Decoded(w, h, bins))
       }

@@ -39,25 +39,42 @@ object ParaDedup {
     * surviving paragraphs with `"\n\n"` in original order. Empty paragraphs
     * are ignored. Documents with no non-empty paragraphs produce no row
     * (nothing to curate).
+    *
+    * The winner rollup `min(struct(doc_id, pos)) per para` IS the kept set —
+    * one row per distinct paragraph, already carrying the surviving
+    * occurrence's (doc, pos). So the per-doc result regroups the WINNER rows
+    * by `w.doc_id` directly; `n_paras` comes from a narrow per-doc
+    * `size(filter(...))` on the source array. The former shape joined the
+    * winner back to every exploded occurrence, which re-shuffles the entire
+    * paragraph text a second time at OCCURRENCE cardinality (the corpus's
+    * fattest intermediate) only to re-derive what the winner row already
+    * says — at 100 TB that join is the dominant shuffle, here it was 8
+    * Exchanges vs 4.
     */
   def dedupParagraphs(df: DataFrame, docIdCol: String, parasCol: String): DataFrame = {
     val exploded = df
       .select(col(docIdCol).cast("long").as("doc_id"), posexplode(col(parasCol)).as(Seq("pos", "para")))
       .where(col("para") =!= "")
-    val winners = exploded
+    val kept = exploded
       .groupBy("para")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-    exploded.join(winners, "para")
-      .withColumn("kept",
-        col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos"))
-      .groupBy("doc_id")
+      .groupBy(col("w.doc_id").as("doc_id"))
       .agg(
-        count(lit(1)).cast("int").as("n_paras"),
-        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        count(lit(1)).cast("int").as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("kept"), struct(col("pos"), col("para"))))),
+            array_sort(collect_list(struct(col("w.pos").as("pos"), col("para").as("para")))),
             s => s.getField("para")),
           "\n\n").as("clean_text"))
+    // narrow per-doc occurrence count: same value the exploded groupBy
+    // counted, no explode/shuffle needed. Docs whose every paragraph lost
+    // (no winner row) keep their row via the left join: n_kept 0, "" text.
+    df.select(col(docIdCol).cast("long").as("doc_id"),
+        size(filter(col(parasCol), p => p =!= "")).cast("int").as("n_paras"))
+      .where(col("n_paras") > 0)
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

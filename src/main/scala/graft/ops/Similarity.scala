@@ -121,7 +121,14 @@ object Similarity {
     graft.io.PathGuard.checkWritable(path)
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    index.assigned.write.mode("overwrite").partitionBy("list_id")
+    // cluster rows by list BEFORE the partitioned write: without it every
+    // input partition opens a writer per list it touches (P×C small files +
+    // their commit/rename round trips — at sf0.1/local[32] several hundred
+    // files for 16 lists); repartition(list_id) makes it one file per list,
+    // the layout a 100 TB probe wants anyway (guide §6 output sizing /
+    // Iceberg hash distribution-mode analogue)
+    index.assigned.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/assigned")
     index.centroids.toSeq.toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
