@@ -70,6 +70,25 @@ object CcittTiff {
   def decodeG4Gray(g4: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     decodeCcittGray(g4, w, h, compression = 4, t4Options = -1)
 
+  /** Per-thread TIFF decode scratch: one cached reader plus reusable
+    * destination images keyed by (type, w, h) — the same shape as the JPEG
+    * path's JpegScratch (PdfExtractor). `ImageIO.read` re-scans the plugin
+    * registry AND spools the stream through a disk-backed cache file on
+    * every call, and without a destination the decoder allocates a fresh
+    * packed raster per page — the ImageIO-internal strip allocation named
+    * as the G3/G4 route's residual churn in BENCH/ATTRIBUTION_r5.md.
+    */
+  private final class TiffScratch {
+    val reader: javax.imageio.ImageReader = {
+      val it = ImageIO.getImageReadersByFormatName("tiff")
+      if (it.hasNext) it.next() else null
+    }
+    val dests = scala.collection.mutable.HashMap
+      .empty[(Int, Int, Int), BufferedImage]
+  }
+  private val tiffScratch: ThreadLocal[TiffScratch] =
+    ThreadLocal.withInitial(() => new TiffScratch)
+
   /** Fax stream → 8-bit luminance (white 0xFF / black 0x00), or None on any
     * decode failure or dimension mismatch. The codec works in white/black
     * RUNS, so the result is true luminance independent of the PDF
@@ -78,8 +97,47 @@ object CcittTiff {
   def decodeCcittGray(fax: Array[Byte], w: Int, h: Int, compression: Int,
                       t4Options: Int, dest: Array[Byte] = null): Option[Array[Byte]] = {
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(
-        wrapTiff(fax, w, h, compression, t4Options)))
+      val wrapped = wrapTiff(fax, w, h, compression, t4Options)
+      val ts = tiffScratch.get
+      val img =
+        if (ts.reader == null) ImageIO.read(new ByteArrayInputStream(wrapped))
+        else {
+          val r = ts.reader
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(wrapped))
+          try {
+            r.setInput(iis)
+            val param = r.getDefaultReadParam
+            val types = r.getImageTypes(0)
+            val spec = if (types != null && types.hasNext) types.next() else null
+            if (spec != null &&
+                spec.getBufferedImageType == BufferedImage.TYPE_BYTE_BINARY) {
+              if (ts.dests.size > 8) ts.dests.clear() // bound retained rasters
+              val d = ts.dests.getOrElseUpdate(
+                (spec.getBufferedImageType, w, h), spec.createBufferedImage(w, h))
+              // fax decoders FILL BLACK RUNS into an assumed-white canvas
+              // rather than writing every bit (G4 happens to overwrite
+              // fully; RLE and 2-D T.4 do not — measured stale-bit bleed
+              // through a reused destination), so restore the fresh-image
+              // invariant: zero the packed raster (photometric WhiteIsZero
+              // ⇒ all-white), exactly what a new BufferedImage starts as
+              java.util.Arrays.fill(
+                d.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData,
+                0.toByte)
+              param.setDestination(d)
+            }
+            try r.read(0, param)
+            catch {
+              case scala.util.control.NonFatal(_) if param.getDestination != null =>
+                // defensive: a destination the decoder rejects — decode
+                // fresh (prior behavior) rather than degrade the page
+                param.setDestination(null)
+                val iis2 = new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new ByteArrayInputStream(wrapped))
+                try { r.setInput(iis2); r.read(0, param) } finally iis2.close()
+            }
+          } finally { r.setInput(null); iis.close() }
+        }
       if (img == null || img.getWidth != w || img.getHeight != h) return None
       // fast path: unpack the decoder's packed-bit buffer directly (the
       // Graphics2D conversion allocates and runs a ColorModel loop); the
@@ -165,10 +223,13 @@ object CcittTiff {
         base.getTag(BaselineTIFFTagSet.TAG_T4_OPTIONS),
         TIFFTag.TIFF_LONG, 1, Array[Long](t4Options.toLong)))
     val bos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
+    // in-memory output stream: createImageOutputStream defaults to a
+    // disk-backed cache file per encode
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)
     writer.write(null, new IIOImage(bin, null, dir.getAsMetadata), p)
     writer.dispose()
+    ios.flush() // MemoryCacheImageOutputStream does NOT flush on close
     ios.close()
     extractSingleStrip(bos.toByteArray)
   }

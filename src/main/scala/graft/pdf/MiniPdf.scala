@@ -583,10 +583,13 @@ object MiniPdf {
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(1.0f)
     val bos = new ByteArrayOutputStream
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // in-memory output stream (identical bytes): the default
+    // createImageOutputStream spools through a disk cache file per encode
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)
     writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
     writer.dispose()
+    ios.flush() // MemoryCacheImageOutputStream does NOT flush on close
     ios.close()
     bos.toByteArray
   }

@@ -438,7 +438,10 @@ object PdfExtractor {
       // gate caps declared w×h, but a crafted payload with small dict dims
       // and huge internal dims would otherwise allocate its full raster
       // inside ImageIO.read before we could compare
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream directly: ImageIO.createImageInputStream
+      // defaults to a DISK-backed cache stream — one temp file created and
+      // deleted per decoded page, pure I/O overhead for in-memory payloads
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(data))
       val img =
         try {
@@ -462,7 +465,7 @@ object PdfExtractor {
               // defensive: a destination the decoder rejects — decode fresh
               // (prior behavior) rather than degrade the page
               param.setDestination(null)
-              val iis2 = javax.imageio.ImageIO.createImageInputStream(
+              val iis2 = new javax.imageio.stream.MemoryCacheImageInputStream(
                 new java.io.ByteArrayInputStream(data))
               try { reader.setInput(iis2); reader.read(0, param) }
               finally iis2.close()
