@@ -500,31 +500,34 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     val spark = pairs.sparkSession
-    // edges carry a SELF-LOOP per node: one edge⋈label join then delivers a
-    // node its own label alongside its neighbors' in the same aggregation
-    // (min(label) = new label; the dst==src row's label = old label), so
-    // each round is ONE join + ONE groupBy instead of the former
-    // join + groupBy + join-back-to-labels — one fewer shuffle per round at
-    // identical label math.
+    // Identical per-round label math to the textbook propagate loop, with
+    // the fixed overhead stripped:
+    //  - no edge distinct / node-set distinct / separate labels init — the
+    //    symmetric union already surfaces every node as a `src`, duplicate
+    //    edges cannot change a min, and round 1 against identity labels
+    //    needs no join at all (each node's first label IS min(src, dst));
+    //  - later rounds synthesize the self contribution by unioning the
+    //    labels frame into the joined edge stream, so one join + one
+    //    groupBy per round delivers both the neighbor minimum and the
+    //    node's own (old) label — no second join back to labels, no
+    //    persisted self-loop edge set.
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct()
+      .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .persist()
-    val nodes = edges.select(col("src").as("id")).distinct()
-    val edgesSelf = edges
-      .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .persist()
-    var labels = nodes.withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), min(col("src"))).as("label"))
+      .localCheckpoint() // truncate lineage; also materializes for the count
+    var changed = labels.where(col("label") < col("id")).count()
+    var iter = 1
     while (changed > 0 && iter < maxIter) {
-      val next = edgesSelf
+      val next = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src"), col("label"), lit(false).as("self"))
+        .unionAll(labels.select(col("id").as("src"), col("label"), lit(true).as("self")))
         .groupBy(col("src").as("id"))
         .agg(min("label").as("label"),
-          min(when(col("dst") === col("src"), col("label"))).as("old"))
-        .localCheckpoint() // truncate lineage; also materializes for the count
+          min(when(col("self"), col("label"))).as("old"))
+        .localCheckpoint()
       changed = next.where(col("label") < col("old")).count()
       labels = next.select("id", "label")
       iter += 1
@@ -538,7 +541,6 @@ object Dedup {
         s"[graft] Dedup.clusters: label propagation NOT converged after " +
           s"$maxIter iterations ($changed labels still shrinking); " +
           s"components with diameter > $maxIter are split — raise maxIter")
-    edgesSelf.unpersist()
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
