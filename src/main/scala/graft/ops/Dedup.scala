@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Scale-adaptive parallelism floor for HEAVY narrow per-row kernel
+    * passes. documents.parquet is ONE scan split at small/medium SF, so
+    * without this an opaque mapPartitions kernel runs on a single core
+    * while the rest of the box idles — measured 1 partition feeding them
+    * at sf0.1/local[32]. An under-partitioned input is repartitioned up to
+    * the session's default parallelism; an input already at scale
+    * (thousands of scan splits at 100 TB) passes through untouched, so
+    * this never shrinks real parallelism and never adds a shuffle where
+    * the layout is already wide. Applied ONLY where the per-row kernel
+    * outweighs one small exchange (tokenize/shingle, multimodal
+    * synthesize+decode); the cheap kernels (simhash, RHP signatures, IVF
+    * assignment) A/B-measured slower widened and stay single-pass.
+    */
+  private[ops] def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   // --- exact -----------------------------------------------------------
 
   /** Exact duplicate groups by content hash (hash-groupBy; one shuffle). */
@@ -113,7 +131,7 @@ object Dedup {
                  p: MinHashParams = MinHashParams()): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    widen(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, minhashSignature(if (text == null) "" else text, p))
@@ -257,6 +275,9 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // deliberately NOT widened (cf. widen): simhash is one 64-bit fold per
+    // token — the extra exchange cost more than the single-task pass
+    // (A/B: d03 0.66 -> 0.76 s widened)
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, simhash64(if (t == null) "" else t)) })
@@ -345,7 +366,7 @@ object Dedup {
                   n: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    widen(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, shingleArray(t, n)) })
       .toDF("id", "sh")

@@ -148,7 +148,12 @@ object Multimodal {
   def synthesize(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+    // Dedup.widen: a single-split documents scan would otherwise synthesize
+    // (and force every downstream decode of) all assets in ONE task; only
+    // the 8-byte ids shuffle. Payloads are a pure function of the id —
+    // partitioning-invariant (spec-asserted).
+    Dedup.widen(documents.select(col("doc_id").cast("long")))
+      .as[Long].mapPartitions(_.map { id =>
       (id % 3) match {
         case 0 =>
           val w = 16 + (id % 4).toInt * 8

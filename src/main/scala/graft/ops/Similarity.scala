@@ -92,6 +92,9 @@ object Similarity {
   def buildIvf(emb: DataFrame, idCol: String, vecCol: String, numLists: Int): IvfIndex = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // deliberately NOT widened (cf. Dedup.widen): the assignment kernel is
+    // numLists dot products per row — cheap enough that the extra exchange
+    // costs more than the single-task pass at small SF (A/B-measured)
     val typed = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
@@ -189,6 +192,9 @@ object Similarity {
                          minCosine: Double = 0.9, maxBucketSize: Int = 256): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // deliberately NOT widened (cf. Dedup.widen): the 64-plane signature is
+    // ~64·dim flops per row — the extra exchange cost more than it saved
+    // (A/B: s04 0.67 -> 0.86 s widened)
     val sigs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) => (id, v, rhpSignature(normalize(v), 64)) })
