@@ -35,6 +35,11 @@ object SyntheticPages {
 
   val Epoch: Long = 1704067200000L // 2024-01-01T00:00:00Z, fixed
 
+  // precompiled: String.split("\\s+") recompiles the Pattern on every call
+  // — once per document per x-query, once per replica row in the bench
+  // corpus build
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   def hostOf(docId: Long): String =
     if (docId % 5 == 0) "big.example.com" else s"h${docId % 97}.example.com"
 
@@ -81,7 +86,7 @@ object SyntheticPages {
     "en" -> "naïve", "zh" -> "中文测试")
 
   def pageFor(docId: Long, docText: String, lang: String): Spec = {
-    val words0 = docText.trim.split("\\s+").toVector.filter(_.nonEmpty)
+    val words0 = Ws.split(docText.trim).toVector.filter(_.nonEmpty)
     if (isScannedDoc(docId)) {
       // mixed case + punctuation, filtered to the glyph set (a real scan of
       // unsupported characters simply has no ink for them). Words must keep
@@ -387,7 +392,7 @@ object SyntheticPages {
   }
 
   private def rotateWords(text: String, v: Int): String = {
-    val w = text.trim.split("\\s+")
+    val w = Ws.split(text.trim)
     if (w.length < 2) return text + " v" + v
     val k = v % w.length
     (w.drop(k) ++ w.take(k)).mkString(" ") + " v" + v

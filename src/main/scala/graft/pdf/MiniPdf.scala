@@ -641,9 +641,14 @@ object MiniPdf {
       case c => c.toString
     }
 
+  // per-thread Deflater (fixed level 6): reset() keeps the configured level
+  // and native state; output bytes are identical to a fresh instance
+  private val deflaterLocal: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6))
+
   /** Deterministic deflate (fixed level, no header variance). */
   def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater(6)
+    val d = deflaterLocal.get
     try {
       d.setInput(data); d.finish()
       val out = new ByteArrayOutputStream(data.length + 64)
@@ -653,6 +658,6 @@ object MiniPdf {
         out.write(buf, 0, k)
       }
       out.toByteArray
-    } finally d.end()
+    } finally d.reset()
   }
 }

@@ -1119,12 +1119,22 @@ object PdfObjects {
     Right(out.toByteArray) // missing EOD tolerated (common in the wild)
   }
 
+  // per-thread Inflater + copy buffer: a PDF doc inflates several streams
+  // (xref/ObjStm/content/raster) and `new Inflater()` allocates native zlib
+  // state each time — reset() returns the SAME state to pristine for the
+  // next stream at a fraction of create+end. One native handle per pooled
+  // executor thread, never per call.
+  private val inflaterLocal: ThreadLocal[java.util.zip.Inflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Inflater())
+  private val inflateBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+
   def inflate(data: Array[Byte]): Either[String, Array[Byte]] = {
-    val inf = new java.util.zip.Inflater()
+    val inf = inflaterLocal.get
     try {
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(math.max(data.length * 4, 1024))
-      val buf = new Array[Byte](8192)
+      val buf = inflateBuf.get
       var guard = 0
       while (!inf.finished() && guard < 100000) {
         val k = inf.inflate(buf)
@@ -1136,6 +1146,6 @@ object PdfObjects {
       else Right(out.toByteArray)
     } catch {
       case _: Exception => Left("flate_decode_failed")
-    } finally inf.end()
+    } finally inf.reset()
   }
 }
