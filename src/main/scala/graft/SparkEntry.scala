@@ -479,7 +479,10 @@ object SparkEntry {
       val sigs = graft.ops.Dedup.signaturesFromSets(sh).persist()
       val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
         .select("id_a", "id_b")
-        .unionAll(graft.ops.Dedup.sampledShingleCandidatesFromSets(sh))
+        // distinctPairs = false: the union below is distinct'd as a whole,
+        // so the inverted index's own dedup exchange is redundant here
+        .unionAll(graft.ops.Dedup.sampledShingleCandidatesFromSets(sh,
+          distinctPairs = false))
         .distinct()
       graft.ops.Dedup.ngramContainmentSets(cand, sh)
         .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.9)

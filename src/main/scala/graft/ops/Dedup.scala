@@ -437,9 +437,14 @@ object Dedup {
 
   /** Same inverted index, derived from MATERIALIZED shingle sets — the
     * postings come from the one tokenize pass every other stage shares.
+    *
+    * `distinctPairs = false` skips the final per-source dedup exchange for
+    * callers that union these candidates with another source and distinct
+    * the UNION anyway (the d06 shape) — same result set, one less shuffle.
     */
   def sampledShingleCandidatesFromSets(shingles: DataFrame, sampleMod: Int = 8,
-                                       maxBucketSize: Int = 64): DataFrame = {
+                                       maxBucketSize: Int = 64,
+                                       distinctPairs: Boolean = true): DataFrame = {
     val spark = shingles.sparkSession
     import spark.implicits._
     val posted = shingles.select(col("id"), col("sh")).as[(Long, Array[Long])]
@@ -455,7 +460,7 @@ object Dedup {
       .select(explode(pairCombos(col("ids"))).as("pair"))
       .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
       .where(col("id_a") =!= col("id_b")) // a doc posts each shingle once, but be explicit
-      .distinct()
+      .transform(d => if (distinctPairs) d.distinct() else d)
   }
 
   /** ASYMMETRIC near-dup: containment(A⊆B) = |sh(A) ∩ sh(B)| / |sh(A)|.
