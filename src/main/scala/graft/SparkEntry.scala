@@ -17,7 +17,7 @@ import graft.model.PipelineConf
   * the golden gate x02 IS the oracle). The q* queries each carry a DuckDB
   * oracle in `oracleSql` with identical column names/aliases.
   *
-  * CACHE CONTRACT: the d04-d07 queries persist() their shingle-set scratch
+  * CACHE CONTRACT: the d04-d07 queries persist() their (shingle, signature) scratch
   * for the lifetime of the returned (lazy) DataFrame — unpersisting inside
   * the query would force a recompute at materialization. Callers running
   * many queries in one session (Bench, Verify) MUST
@@ -412,7 +412,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > 1)
     }),
-    // same materialized-shingle-set path as d04-d07 (ONE tokenize pass).
+    // same one-tokenize-pass discipline as d04-d07 (which persist the
+    // combined (sh, sig) scratch; d02 outputs the ESTIMATE, so it only
+    // needs signatures and persists just those).
     // The SIGNATURES are persisted (64 longs/doc — the cheap artifact),
     // because minhashCandidates reads them three times (banding + both
     // sides of the verify join): unpersisted, each read would re-tokenize
@@ -428,25 +430,24 @@ object SparkEntry {
       graft.ops.Dedup.simhashCandidates(hashes, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
-    // one tokenize pass: the persisted shingle sets feed the signatures AND
-    // the pair verification (previously each pair re-tokenized both sides)
+    // one tokenize pass feeding ONE combined (sh, sig) scratch: banding
+    // reads the signatures, and the fused jaccardVerify joins each pair
+    // side once to est-filter AND exact-verify in the same pass (formerly
+    // two persisted frames and two join pairs — signatures for the
+    // estimate, shingle sets for the exact Jaccard)
     "d04_ngram_verified_dups" -> ((s, dir) => {
-      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
-      val sigs = graft.ops.Dedup.signaturesFromSets(sh).persist()
-      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
-        .select("id_a", "id_b")
-      graft.ops.Dedup.ngramJaccardSets(cand, sh)
+      val sc = graft.ops.Dedup.shingleSigSets(documents(s, dir), "doc_id", "text").persist()
+      graft.ops.Dedup.jaccardVerify(
+          graft.ops.Dedup.bandedPairs(sc.select("id", "sig")), sc, minEstJaccard = 0.3)
         .where(col("jaccard") >= 0.5).orderBy("id_a", "id_b")
     }),
     // clusters over EXACT-verified pairs (candidates → exact n-gram Jaccard
     // ≥ 0.5 → connected components), so the DuckDB oracle can recompute the
     // same components from exact all-pairs Jaccard + a recursive CTE
     "d05_dup_clusters" -> ((s, dir) => {
-      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
-      val sigs = graft.ops.Dedup.signaturesFromSets(sh).persist()
-      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
-        .select("id_a", "id_b")
-      val verified = graft.ops.Dedup.ngramJaccardSets(cand, sh)
+      val sc = graft.ops.Dedup.shingleSigSets(documents(s, dir), "doc_id", "text").persist()
+      val verified = graft.ops.Dedup.jaccardVerify(
+          graft.ops.Dedup.bandedPairs(sc.select("id", "sig")), sc, minEstJaccard = 0.3)
         .where(col("jaccard") >= 0.5).select("id_a", "id_b")
       graft.ops.Dedup.clusters(verified)
         .groupBy("cluster").agg(count(lit(1)).as("members"))
@@ -455,15 +456,12 @@ object SparkEntry {
     // incremental dedup: NEW half of the corpus against the EXISTING half —
     // cross-set banding only (no new×new / old×old pairs), exact-verified
     "d07_incremental_dups" -> ((s, dir) => {
-      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
-      val sigsNew = graft.ops.Dedup.signaturesFromSets(
-        sh.where(col("id") % 2 === 0)).persist()
-      val sigsOld = graft.ops.Dedup.signaturesFromSets(
-        sh.where(col("id") % 2 === 1)).persist()
-      val cand = graft.ops.Dedup.minhashCandidatesAcross(
-          sigsNew, sigsOld, minEstJaccard = 0.3)
+      val sc = graft.ops.Dedup.shingleSigSets(documents(s, dir), "doc_id", "text").persist()
+      val cand = graft.ops.Dedup.acrossBandedPairs(
+          sc.where(col("id") % 2 === 0).select("id", "sig"),
+          sc.where(col("id") % 2 === 1).select("id", "sig"))
         .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-      graft.ops.Dedup.ngramJaccardSets(cand, sh)
+      graft.ops.Dedup.jaccardVerify(cand, sc, minEstJaccard = 0.3)
         .where(col("jaccard") >= 0.5)
         .select(col("id_a").as("new_id"), col("id_b").as("old_id"), col("jaccard"))
         .orderBy("new_id", "old_id")
@@ -475,16 +473,16 @@ object SparkEntry {
     // banding structurally misses (a contained doc's sampled shingles are
     // sampled in its container too).
     "d06_containment" -> ((s, dir) => {
-      val sh = graft.ops.Dedup.shingleSets(documents(s, dir), "doc_id", "text").persist()
-      val sigs = graft.ops.Dedup.signaturesFromSets(sh).persist()
-      val cand = graft.ops.Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+      val sc = graft.ops.Dedup.shingleSigSets(documents(s, dir), "doc_id", "text").persist()
+      val cand = graft.ops.Dedup.minhashCandidates(
+          sc.select("id", "sig"), minEstJaccard = 0.3)
         .select("id_a", "id_b")
         // distinctPairs = false: the union below is distinct'd as a whole,
         // so the inverted index's own dedup exchange is redundant here
-        .unionAll(graft.ops.Dedup.sampledShingleCandidatesFromSets(sh,
-          distinctPairs = false))
+        .unionAll(graft.ops.Dedup.sampledShingleCandidatesFromSets(
+          sc.select("id", "sh"), distinctPairs = false))
         .distinct()
-      graft.ops.Dedup.ngramContainmentSets(cand, sh)
+      graft.ops.Dedup.ngramContainmentSets(cand, sc.select("id", "sh"))
         .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.9)
         .orderBy("id_a", "id_b")
     }),

@@ -61,15 +61,21 @@ object Curation {
     val key =
       if (idIsNumeric) col(idCol).cast("long") else xxhash64(col(idCol))
     val keyed = docs.select(key.as("__cid"), col(textCol))
-    // one tokenize pass feeds signatures AND exact verification; the
-    // signatures persist too (minhashCandidates reads them three times —
-    // banding + both sides of the verify join)
-    val ownScratch = sharedShingles.isEmpty
-    val sh = sharedShingles.getOrElse(
-      Dedup.shingleSets(keyed, "__cid", textCol).persist())
-    val sigs = Dedup.signaturesFromSets(sh).persist()
-    val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
-      .select("id_a", "id_b")
+    // one tokenize pass feeds the combined (sh, sig) scratch; the fused
+    // jaccardVerify est-filters and exact-verifies in one pair pass. A
+    // caller-supplied shingle frame (id, sh — no signatures) keeps the
+    // two-stage composition, bit-identical by construction.
+    val (verifiedAll, release) = sharedShingles match {
+      case Some(sh) =>
+        val sigs = Dedup.signaturesFromSets(sh).persist()
+        val cand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+          .select("id_a", "id_b")
+        (Dedup.ngramJaccardSets(cand, sh), () => { sigs.unpersist(); () })
+      case None =>
+        val sc = Dedup.shingleSigSets(keyed, "__cid", textCol).persist()
+        (Dedup.jaccardVerify(Dedup.bandedPairs(sc.select("id", "sig")), sc,
+          minEstJaccard = 0.3), () => { sc.unpersist(); () })
+    }
     // verified pairs are emitted with id_a < id_b, so id_b is the loser.
     // The loser set must be EAGERLY materialized with its lineage CUT
     // before the shingle scratch is unpersisted: a merely-persisted child
@@ -87,15 +93,14 @@ object Curation {
     // the scratch unpersist and silently recompute shingle-less; keeping
     // the scratch cached leaks hundreds of MB per call into the caller's
     // session). Either way curate never leaks a cached frame.
-    val verified = Dedup.ngramJaccardSets(cand, sh)
+    val verified = verifiedAll
       .where(col("jaccard") >= dupTau)
       .select(col("id_b").as("loser_id")).distinct()
     val losers =
       if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
         verified.checkpoint()
       else verified.localCheckpoint()
-    sigs.unpersist()
-    if (ownScratch) sh.unpersist()
+    release()
 
     docs.select(
         (if (idIsNumeric) col(idCol).cast("long") else col(idCol)).as("doc_id"),

@@ -160,12 +160,13 @@ object Dedup {
       .toDF("id", "sig")
   }
 
-  /** LSH candidate pairs + estimated Jaccard (fraction of equal minhashes).
-    * `minEstJaccard` filters the verified estimate, not the banding.
+  /** Banding-only candidate pairs (id_a < id_b, distinct): one shuffle of
+    * b band keys per doc, hash-aggregate on (band, key), bucket clamp —
+    * the candidate generator shared by the est-verifying
+    * [[minhashCandidates]] and the fused [[jaccardVerify]] path.
     */
-  def minhashCandidates(sigs: DataFrame, p: MinHashParams = MinHashParams(),
-                        minEstJaccard: Double = 0.5,
-                        maxBucketSize: Int = 64): DataFrame = {
+  def bandedPairs(sigs: DataFrame, p: MinHashParams = MinHashParams(),
+                  maxBucketSize: Int = 64): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val r = p.rowsPerBand
@@ -178,13 +179,21 @@ object Dedup {
       }
     }.toDF("band", "bkey", "id")
 
-    val pairs = banded.groupBy("band", "bkey")
+    banded.groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(pairCombos(col("ids"))).as("pair"))
       .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
       .distinct()
+  }
 
+  /** LSH candidate pairs + estimated Jaccard (fraction of equal minhashes).
+    * `minEstJaccard` filters the verified estimate, not the banding.
+    */
+  def minhashCandidates(sigs: DataFrame, p: MinHashParams = MinHashParams(),
+                        minEstJaccard: Double = 0.5,
+                        maxBucketSize: Int = 64): DataFrame = {
+    val pairs = bandedPairs(sigs, p, maxBucketSize)
     // verify: join signatures back (candidate-cardinality joins)
     val sa = sigs.toDF("id_a", "sig_a")
     val sb = sigs.toDF("id_b", "sig_b")
@@ -208,6 +217,22 @@ object Dedup {
                               p: MinHashParams = MinHashParams(),
                               minEstJaccard: Double = 0.5,
                               maxBucketSize: Int = 64): DataFrame = {
+    val pairs = acrossBandedPairs(newSigs, oldSigs, p, maxBucketSize)
+    val sa = newSigs.toDF("new_id", "sig_a")
+    val sb = oldSigs.toDF("old_id", "sig_b")
+    pairs.join(sa, "new_id").join(sb, "old_id")
+      .select(col("new_id"), col("old_id"),
+        estJaccard(col("sig_a"), col("sig_b"), p.numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Cross-set banding-only candidates (new_id, old_id) — the generator
+    * inside [[minhashCandidatesAcross]], exposed so the fused
+    * [[jaccardVerify]] path can est-filter and exact-verify in one pass.
+    */
+  def acrossBandedPairs(newSigs: DataFrame, oldSigs: DataFrame,
+                        p: MinHashParams = MinHashParams(),
+                        maxBucketSize: Int = 64): DataFrame = {
     val spark = newSigs.sparkSession
     import spark.implicits._
     val r = p.rowsPerBand
@@ -221,7 +246,7 @@ object Dedup {
         }
       }.toDF("band", "bkey", "id", "side")
 
-    val pairs = banded(newSigs, 0).unionAll(banded(oldSigs, 1))
+    banded(newSigs, 0).unionAll(banded(oldSigs, 1))
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(when(col("side") === 0, col("id")))).as("new_ids"),
         sort_array(collect_list(when(col("side") === 1, col("id")))).as("old_ids"))
@@ -230,13 +255,6 @@ object Dedup {
       .select(explode(col("new_ids")).as("new_id"), col("old_ids"))
       .select(col("new_id"), explode(col("old_ids")).as("old_id"))
       .distinct()
-
-    val sa = newSigs.toDF("new_id", "sig_a")
-    val sb = oldSigs.toDF("old_id", "sig_b")
-    pairs.join(sa, "new_id").join(sb, "old_id")
-      .select(col("new_id"), col("old_id"),
-        estJaccard(col("sig_a"), col("sig_b"), p.numHashes).as("est_jaccard"))
-      .where(col("est_jaccard") >= minEstJaccard)
   }
 
   /** fraction of equal signature slots — unbiased Jaccard estimator. */
@@ -370,6 +388,63 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, shingleArray(t, n)) })
       .toDF("id", "sh")
+  }
+
+  /** id → (sorted distinct shingle hashes, minhash signature) in ONE
+    * widened tokenize pass — the COMBINED scratch for pipelines that need
+    * both (candidate banding reads `sig`, exact verification reads `sh`).
+    * One persisted frame and one cache materialization instead of the
+    * former shingleSets + signaturesFromSets pair; values bit-identical to
+    * that composition (the signature mixes over the same distinct shingle
+    * hashes — duplicates never change a min).
+    */
+  def shingleSigSets(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, p: MinHashParams = MinHashParams()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val sh = shingleArray(t, n)
+        val sig = Array.fill(p.numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < sh.length) { mixInto(sig, sh(i), p); i += 1 }
+        (id, sh, sig)
+      })
+      .toDF("id", "sh", "sig")
+  }
+
+  /** Candidate pairs est-filtered AND exact-verified in one pair pass
+    * against the combined `(id, sh, sig)` scratch ([[shingleSigSets]]):
+    * returns `(id_a, id_b, jaccard)` for pairs whose slot-equality estimate
+    * clears `minEstJaccard`. Bit-identical to the former two-stage
+    * `minhashCandidates(...).select(ids)` → `ngramJaccardSets(...)`
+    * composition — same estimator arithmetic (equal-slot count / numHashes
+    * in double), same sorted-array intersection — but each scratch side is
+    * joined ONCE instead of once for signatures and once for shingles
+    * (two broadcast builds and a pair-cardinality pass saved per query).
+    */
+  def jaccardVerify(pairs: DataFrame, scratch: DataFrame,
+                    p: MinHashParams = MinHashParams(),
+                    minEstJaccard: Double = 0.5): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sa = scratch.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val sb = scratch.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    pairs.select("id_a", "id_b").join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
+        col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
+      .mapPartitions(_.flatMap { case (a, b, shA, shB, sigA, sigB) =>
+        var eq = 0
+        var k = 0
+        while (k < p.numHashes) { if (sigA(k) == sigB(k)) eq += 1; k += 1 }
+        if (eq.toDouble / p.numHashes >= minEstJaccard) {
+          val inter = intersectSize(shA, shB)
+          Some((a, b, inter.toDouble / (shA.length + shB.length - inter)))
+        } else None
+      })
+      .toDF("id_a", "id_b", "jaccard")
   }
 
   /** |a ∩ b| of two sorted distinct arrays — two-pointer, zero allocation. */
