@@ -474,15 +474,7 @@ object SparkEntry {
     // sampled in its container too).
     "d06_containment" -> ((s, dir) => {
       val sc = graft.ops.Dedup.shingleSigSets(documents(s, dir), "doc_id", "text").persist()
-      val cand = graft.ops.Dedup.minhashCandidates(
-          sc.select("id", "sig"), minEstJaccard = 0.3)
-        .select("id_a", "id_b")
-        // distinctPairs = false: the union below is distinct'd as a whole,
-        // so the inverted index's own dedup exchange is redundant here
-        .unionAll(graft.ops.Dedup.sampledShingleCandidatesFromSets(
-          sc.select("id", "sh"), distinctPairs = false))
-        .distinct()
-      graft.ops.Dedup.ngramContainmentSets(cand, sc.select("id", "sh"))
+      graft.ops.Dedup.containmentVerified(sc, minEstJaccard = 0.3)
         .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.9)
         .orderBy("id_a", "id_b")
     }),

@@ -447,6 +447,53 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
   }
 
+  /** The containment pipeline's candidate + verify stage, fused against
+    * the combined `(id, sh, sig)` scratch: banding candidates ∪
+    * sampled-shingle candidates, the minhash-estimate filter applied ONLY
+    * to pairs whose sole origin is banding (a sampled-index pair reaches
+    * exact verification regardless — that is the small-in-large class the
+    * estimate would wrongly drop), exact containment both directions in
+    * the same pair pass. Produces exactly the pair set of
+    * `minhashCandidates(est ≥ τ) ∪ sampledShingleCandidates` followed by
+    * `ngramContainmentSets` — same estimator arithmetic, same sorted-array
+    * intersection — with each scratch side joined once instead of twice.
+    */
+  def containmentVerified(scratch: DataFrame,
+                          p: MinHashParams = MinHashParams(),
+                          minEstJaccard: Double = 0.5,
+                          sampleMod: Int = 8,
+                          maxBucketSize: Int = 64): DataFrame = {
+    val spark = scratch.sparkSession
+    import spark.implicits._
+    val cand = bandedPairs(scratch.select("id", "sig"), p, maxBucketSize)
+      .withColumn("sampled", lit(false))
+      .unionAll(sampledShingleCandidatesFromSets(scratch.select("id", "sh"),
+          sampleMod, maxBucketSize, distinctPairs = false)
+        .withColumn("sampled", lit(true)))
+      .groupBy("id_a", "id_b").agg(max(col("sampled")).as("sampled"))
+    val sa = scratch.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val sb = scratch.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("sampled"), col("sh_a"), col("sh_b"),
+        col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Boolean, Array[Long], Array[Long], Array[Long], Array[Long])]
+      .mapPartitions(_.flatMap { case (a, b, sampled, shA, shB, sigA, sigB) =>
+        val pass = sampled || {
+          var eq = 0
+          var k = 0
+          while (k < p.numHashes) { if (sigA(k) == sigB(k)) eq += 1; k += 1 }
+          eq.toDouble / p.numHashes >= minEstJaccard
+        }
+        if (pass) {
+          val inter = intersectSize(shA, shB)
+          Some((a, b,
+            if (shA.isEmpty) 0.0 else inter.toDouble / shA.length,
+            if (shB.isEmpty) 0.0 else inter.toDouble / shB.length))
+        } else None
+      })
+      .toDF("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+  }
+
   /** |a ∩ b| of two sorted distinct arrays — two-pointer, zero allocation. */
   def intersectSize(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0
