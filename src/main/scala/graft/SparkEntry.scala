@@ -50,7 +50,12 @@ object SparkEntry {
     // row per scale, so the correctness dump itself shows 320k/320k
     "x02_golden_check" -> ((s, dir) => {
       def gate(d: String, replicas: Int): DataFrame = {
-        val pages = SyntheticPages.fromDocuments(s, d, replicas)
+        // persist: the gate consumes the generated pages TWICE — the
+        // extraction branch reads (url, html), the expected branch
+        // (url, text) — and without it the whole payload synthesis runs
+        // once per branch. Same clearCache contract as the dedup scratch
+        // (object scaladoc): Bench/Verify clear after materializing.
+        val pages = SyntheticPages.fromDocuments(s, d, replicas).persist()
         val extracted = Extract.runNarrow(pages).toDF()
         extracted.select(col("url"), col("status"), col("text").as("actual"))
           .join(pages.select(col("url"), col("text").as("expected")), Seq("url"))
