@@ -103,6 +103,13 @@ object MiniPdf {
     * string-decryption path. Deterministic: fixed /ID, per-object IVs
     * derived from the object number.
     */
+  /** Memoized per-(variant, userPw) encryption credentials — see the
+    * derivation comment inside [[buildEncrypted]].
+    */
+  private final case class EncMaterial(encBody: String, fk: Array[Byte])
+  private val encMaterials =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), EncMaterial]()
+
   def buildEncrypted(pageStreams: Seq[String], variant: String, userPw: String = "",
                      flate: Boolean = false, padTo: Int = 1024): Array[Byte] = {
     import java.security.MessageDigest
@@ -118,9 +125,17 @@ object MiniPdf {
     def aesV2Of(fk: Array[Byte])(num: Int, d: Array[Byte]): Array[Byte] =
       PdfCrypt.aesCbcEncrypt(PdfCrypt.objectKey(fk, num, 0, aes = true), iv(num), d)
 
-    // (encrypt-dict body, stream encryptor, string encryptor)
-    val (encBody, encStream, encString):
-        (String, (Int, Array[Byte]) => Array[Byte], (Int, Array[Byte]) => Array[Byte]) =
+    // credentials (encrypt-dict body + file key) are a pure function of
+    // (variant, userPw) — fixed /ID, fixture owner password, fixture
+    // salts — yet their derivation is EXPENSIVE BY DESIGN (R6's hash2B
+    // iterated-SHA rounds; the O/U MD5-RC4 loops), and the generator was
+    // re-deriving identical values for every encrypted document (~27% of
+    // corpus-generation samples in the round-6 profile). Memoized per
+    // (variant, userPw): bounded (a handful of fixture combinations),
+    // byte-identical output. The per-object work (object keys, per-object
+    // IVs, the payload encryption itself) is data-dependent and still runs
+    // per document.
+    val mat = encMaterials.computeIfAbsent((variant, userPw), _ =>
       variant match {
         case "rc4-40" | "rc4-128" =>
           val (v, r, kb, lenDecl) =
@@ -128,20 +143,23 @@ object MiniPdf {
           val o = PdfCrypt.computeO(ownerPw, pw, kb, r)
           val fk = PdfCrypt.fileKeyR4(pw, o, perm, id0, kb, r, encryptMetadata = true)
           val u = PdfCrypt.computeU(fk, id0, r)
-          (s"/Filter /Standard /V $v /R $r$lenDecl /O <${hex(o)}> /U <${hex(u)}> /P $perm",
-            rc4Of(fk), rc4Of(fk))
+          EncMaterial(
+            s"/Filter /Standard /V $v /R $r$lenDecl /O <${hex(o)}> /U <${hex(u)}> /P $perm",
+            fk)
         case "aesv2" | "identity-stm" =>
           val o = PdfCrypt.computeO(ownerPw, pw, 16, 4)
           val fk = PdfCrypt.fileKeyR4(pw, o, perm, id0, 16, 4, encryptMetadata = true)
           val u = PdfCrypt.computeU(fk, id0, 4)
           if (variant == "aesv2")
-            (s"/Filter /Standard /V 4 /R 4 /Length 128 /O <${hex(o)}> /U <${hex(u)}> " +
-              s"/P $perm /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF",
-              aesV2Of(fk), aesV2Of(fk))
+            EncMaterial(
+              s"/Filter /Standard /V 4 /R 4 /Length 128 /O <${hex(o)}> /U <${hex(u)}> " +
+                s"/P $perm /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF",
+              fk)
           else
-            (s"/Filter /Standard /V 4 /R 4 /Length 128 /O <${hex(o)}> /U <${hex(u)}> " +
-              s"/P $perm /CF << /StdCF << /CFM /V2 >> >> /StmF /Identity /StrF /StdCF",
-              (_: Int, d: Array[Byte]) => d, rc4Of(fk))
+            EncMaterial(
+              s"/Filter /Standard /V 4 /R 4 /Length 128 /O <${hex(o)}> /U <${hex(u)}> " +
+                s"/P $perm /CF << /StdCF << /CFM /V2 >> >> /StmF /Identity /StrF /StdCF",
+              fk)
         case "aesv3" =>
           val fk = MessageDigest.getInstance("SHA-256").digest("fixture-filekey".getBytes(ISO_8859_1))
           val vs = md5("fixture-vs").take(8)
@@ -154,12 +172,22 @@ object MiniPdf {
           val o = PdfCrypt.hash2B(ownerPw, ovs, u, 6) ++ ovs ++ oks
           val oe = PdfCrypt.aesCbcNoIv(javax.crypto.Cipher.ENCRYPT_MODE,
             PdfCrypt.hash2B(ownerPw, oks, u, 6), fk)
-          def enc(num: Int, d: Array[Byte]): Array[Byte] = PdfCrypt.aesCbcEncrypt(fk, iv(num), d)
-          (s"/Filter /Standard /V 5 /R 6 /Length 256 /O <${hex(o)}> /U <${hex(u)}> " +
-            s"/OE <${hex(oe)}> /UE <${hex(ue)}> /Perms <${"00" * 16}> /P $perm " +
-            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF",
-            enc, enc)
+          EncMaterial(
+            s"/Filter /Standard /V 5 /R 6 /Length 256 /O <${hex(o)}> /U <${hex(u)}> " +
+              s"/OE <${hex(oe)}> /UE <${hex(ue)}> /Perms <${"00" * 16}> /P $perm " +
+              "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF",
+            fk)
         case other => throw new IllegalArgumentException(s"unknown variant: $other")
+      })
+    val encBody = mat.encBody
+    val (encStream, encString): ((Int, Array[Byte]) => Array[Byte], (Int, Array[Byte]) => Array[Byte]) =
+      variant match {
+        case "rc4-40" | "rc4-128" => (rc4Of(mat.fk), rc4Of(mat.fk))
+        case "aesv2" => (aesV2Of(mat.fk), aesV2Of(mat.fk))
+        case "identity-stm" => ((_: Int, d: Array[Byte]) => d, rc4Of(mat.fk))
+        case _ => // aesv3
+          val enc = (num: Int, d: Array[Byte]) => PdfCrypt.aesCbcEncrypt(mat.fk, iv(num), d)
+          (enc, enc)
       }
 
     val out = new ByteArrayOutputStream()

@@ -13,10 +13,15 @@ object NarrowLoop {
     val pages = graft.io.SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.1", 64).cache()
     pages.count()
     println("WARMED pid=" + ProcessHandle.current().pid())
+    val mode = sys.env.getOrElse("NARROWLOOP_MODE", "extract")
     for (i <- 1 to 60) {
       val t = System.nanoTime()
-      graft.pipeline.Extract.runNarrow(pages).toDF().write
-        .format("noop").mode("overwrite").save()
+      if (mode == "generate")
+        graft.io.SyntheticPages.fromDocuments(spark, "/root/testdata/sf0.1", 16)
+          .write.format("noop").mode("overwrite").save()
+      else
+        graft.pipeline.Extract.runNarrow(pages).toDF().write
+          .format("noop").mode("overwrite").save()
       println(f"NARROW rep$i ${(System.nanoTime() - t) / 1e9}%.3f")
     }
     spark.stop()
