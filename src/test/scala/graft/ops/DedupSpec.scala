@@ -202,6 +202,73 @@ class DedupSpec extends AnyFunSuite {
     assert(s1.sameElements(s8))
   }
 
+  test("fused jaccardVerify == minhashCandidates -> ngramJaccardSets, bit-exact") {
+    // differential gate for the round-6 fusion: the combined (sh, sig)
+    // scratch + single pair pass must reproduce the two-stage composition
+    // exactly — same candidate set, same estimate filter, same Jaccard
+    val base = randomDoc(80)
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 4 == 0) mutate(base, 0.05 + (i % 7) * 0.02) else randomDoc(60 + (i % 5).toInt * 10))
+    }.toDF("doc_id", "text")
+    val sc = Dedup.shingleSigSets(docs, "doc_id", "text").persist()
+    val sh = Dedup.shingleSets(docs, "doc_id", "text").persist()
+    val sigs = Dedup.signaturesFromSets(sh).persist()
+    try {
+      for (minEst <- Seq(0.1, 0.3, 0.5)) {
+        val fused = Dedup.jaccardVerify(
+            Dedup.bandedPairs(sc.select("id", "sig")), sc, minEstJaccard = minEst)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val legacy = Dedup.ngramJaccardSets(
+            Dedup.minhashCandidates(sigs, minEstJaccard = minEst).select("id_a", "id_b"), sh)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(fused == legacy, s"minEst=$minEst fused=$fused legacy=$legacy")
+      }
+    } finally { sc.unpersist(); sh.unpersist(); sigs.unpersist() }
+  }
+
+  test("fused containmentVerified == candidates-union -> ngramContainmentSets") {
+    // the d06 shape: est filter gates only banding-origin pairs; a
+    // sampled-index pair reaches exact verification regardless
+    val container = randomDoc(200)
+    val contained = container.split(" ").slice(20, 60).mkString(" ")
+    val docs = ((0L until 30L).map(i => (i, randomDoc(50 + (i % 7).toInt * 9))) ++
+      Seq((100L, container), (101L, contained))).toDF("doc_id", "text")
+    val sc = Dedup.shingleSigSets(docs, "doc_id", "text").persist()
+    val sh = Dedup.shingleSets(docs, "doc_id", "text").persist()
+    val sigs = Dedup.signaturesFromSets(sh).persist()
+    try {
+      val fused = Dedup.containmentVerified(sc, minEstJaccard = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val legacyCand = Dedup.minhashCandidates(sigs, minEstJaccard = 0.3)
+        .select("id_a", "id_b")
+        .unionAll(Dedup.sampledShingleCandidatesFromSets(sh))
+        .distinct()
+      val legacy = Dedup.ngramContainmentSets(legacyCand, sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(fused == legacy)
+      // the planted small-in-large pair must be present with high containment
+      assert(fused.exists { case (a, b, cab, cba) =>
+        Set(a, b) == Set(100L, 101L) && math.max(cab, cba) >= 0.9
+      }, s"planted containment pair missing: $fused")
+    } finally { sc.unpersist(); sh.unpersist(); sigs.unpersist() }
+  }
+
+  test("shingleSigSets == shingleSets + signaturesFromSets, per id") {
+    val docs = (0L until 25L).map(i => (i, randomDoc(30 + (i % 6).toInt * 12)))
+      .toDF("doc_id", "text")
+    val combined = Dedup.shingleSigSets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigs = Dedup.signaturesFromSets(Dedup.shingleSets(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(combined.keySet == sh.keySet)
+    combined.foreach { case (id, (s, g)) =>
+      assert(s == sh(id), s"shingles diverge for $id")
+      assert(g == sigs(id), s"signature diverges for $id")
+    }
+  }
+
   test("clusters: min-label propagation crosses multi-hop chains") {
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: labels must propagate
     // beyond one hop (1 reaches 4 in 3 hops)
